@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Aggregation surface beyond the reference's single windowed count
+  * (SparkApplication.scala:88): distinct aggregates, rollup/cube/grouping
+  * sets, approximate distinct, conditional aggregation, pivot.
+  *
+  * Scale notes: every query here is a partial+final HashAggregate over a
+  * small group-key domain, so the shuffle carries only the partially
+  * aggregated state. `count(DISTINCT x)` triggers Spark's two-phase expand
+  * plan — fine when the distinct key domain per group is bounded; for
+  * unbounded domains use approx_count_distinct (HLL++, mergeable sketches).
+  * Grouping-set queries use Expand (one pass over data, N output rows per
+  * input row) — the idiomatic plan at any scale.
+  */
+object Aggregates {
+
+  /** Exact distinct aggregation: two distinct columns forces the Expand
+    * strategy rather than a single distinct-aware aggregate.
+    */
+  def q12AggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val q12Sql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+              COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** ROLLUP over (status, priority). Group keys are coalesced to a sentinel
+    * so the deterministic ORDER BY needs no null-ordering pinning (Spark
+    * defaults NULLS FIRST, DuckDB NULLS LAST); grouping_id disambiguates.
+    */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").as("total"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"), col("gid"))
+      .orderBy(col("status"), col("priority"))
+
+  val q13Sql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+              COALESCE(o_orderpriority, '(all)') AS priority,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+              GROUPING_ID(o_orderstatus, o_orderpriority) AS gid
+       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       ORDER BY status, priority"""
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations in one
+    * Expand pass.
+    */
+  def q14Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy(col("flag"), col("status"))
+
+  val q14Sql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+              COALESCE(l_linestatus, '(all)') AS status,
+              COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+              GROUPING_ID(l_returnflag, l_linestatus) AS gid
+       FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY flag, status"""
+
+  /** Explicit GROUPING SETS through the SQL front end (the DataFrame API
+    * exposes only rollup/cube): per-(segment), per-(nation), and grand
+    * total in one pass.
+    */
+  def q15GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    graft.sources.Tables.registerViews(s, dir)
+    s.sql(
+      """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+                COALESCE(CAST(c_nationkey AS STRING), '(all)') AS nation,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+         FROM customer
+         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+         ORDER BY segment, nation""")
+  }
+
+  val q15Sql: String =
+    """SELECT COALESCE(c_mktsegment, '(all)') AS segment,
+              COALESCE(CAST(c_nationkey AS VARCHAR), '(all)') AS nation,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+       FROM customer
+       GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+       ORDER BY segment, nation"""
+
+  /** HLL++ approximate distinct (mergeable sketch — the 100 TB answer to
+    * COUNT(DISTINCT) over unbounded domains). No DuckDB oracle: sketch
+    * estimates are engine-specific, so this gets the rows-only check; the
+    * exact companion (q12) proves correctness of the pipeline around it,
+    * and the scalatest spec bounds the estimate against the exact count.
+    */
+  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Conditional aggregation: CASE-gated sums/counts — one scan, no join,
+    * the scalable alternative to N filtered subqueries.
+    */
+  def q17ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        expr("SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)").as("n_filled"),
+        expr("SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)").as("n_open"),
+        expr("CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)").as("urgent_total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_year"))
+
+  val q17Sql: String =
+    """SELECT YEAR(o_orderdate) AS o_year,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+              CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS urgent_total,
+              COUNT(*) AS n
+       FROM orders GROUP BY YEAR(o_orderdate) ORDER BY o_year"""
+
+  /** Pivot (values pinned so the plan is a single pass — never let pivot
+    * infer distinct values at scale, that's an extra job).
+    */
+  def q18Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("o_orderpriority"))
+
+  val q18Sql: String =
+    """SELECT o_orderpriority,
+              CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+              CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+              CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_agg_distinct" -> (q12AggDistinct _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_cube" -> (q14Cube _),
+    "q15_grouping_sets" -> (q15GroupingSets _),
+    "q16_approx_distinct" -> (q16ApproxDistinct _),
+    "q17_conditional_agg" -> (q17ConditionalAgg _),
+    "q18_pivot" -> (q18Pivot _))
+
+  val oracle: Map[String, String] = Map(
+    "q12_agg_distinct" -> q12Sql,
+    "q13_rollup" -> q13Sql,
+    "q14_cube" -> q14Sql,
+    "q15_grouping_sets" -> q15Sql,
+    // q16 intentionally omitted: HLL estimates are engine-specific.
+    "q17_conditional_agg" -> q17Sql,
+    "q18_pivot" -> q18Sql)
+}

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Event-sequence operators over the `events` table: sessionization,
+  * as-of join, latest-record-per-key. These are the batch duals of the
+  * reference's streaming windowing (SparkApplication.scala:88) and the
+  * operators a log/telemetry pipeline needs at scale.
+  */
+object EventOps {
+
+  /** As-of join, composed from built-ins (no O(n·m) range join):
+    * for each left ("probe") row, attach the most recent strictly-earlier
+    * right ("quote") row sharing the key.
+    *
+    * Implementation: tag both sides, UNION ALL, one shuffle+sort per key on
+    * (ts, side), then `last(value, ignoreNulls)` over the preceding-rows
+    * frame carries the latest right value forward. Probe rows sort before
+    * quote rows at equal timestamps, so the match is strictly `right.ts <
+    * left.ts`. Cost: ONE shuffle of |L|+|R| rows — versus the
+    * broadcast-nested-loop a naive `l.ts > r.ts` join would plan. This is
+    * the standard scalable formulation; skewed keys can be salted upstream.
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
+           carry: String, leftCols: Seq[String]): DataFrame = {
+    val l = left.select(col(key).as("_k"), col(ts).as("_ts"), lit(0).as("_side"),
+      lit(null).cast(right.schema(carry).dataType).as("_carry"),
+      struct(leftCols.map(col): _*).as("_row"))
+    val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
+      col(carry).as("_carry"), lit(null).cast(l.schema("_row").dataType).as("_row"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    l.union(r)
+      .withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select((leftCols.map(c => col(s"_row.$c").as(c)) :+ col("_asof")): _*)
+  }
+
+  /** Each purchase event joined to the user's most recent prior signup. */
+  def q46AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    asOf(purchases, signups, "user_id", "ts", "ts",
+      Seq("event_id", "user_id", "ts"))
+      .withColumnRenamed("_asof", "last_signup_ts")
+      .orderBy(col("event_id"))
+  }
+
+  val q46Sql: String =
+    """SELECT p.event_id, p.user_id, p.ts, s.ts AS last_signup_ts
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+         ON p.user_id = s.user_id AND p.ts > s.ts
+       ORDER BY p.event_id"""
+
+  /** Batch sessionization: a >30-minute gap starts a new session; emit one
+    * row per session. lag → boundary flag → running sum = session id, then
+    * reaggregate. Two window passes + one aggregate, all on the same
+    * user_id partitioning (Spark reuses the exchange).
+    */
+  def q47Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_seq", sum(col("new_sess")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("sess_value"))
+      .orderBy(col("user_id"), col("sess_seq"))
+  }
+
+  val q47Sql: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, value,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       ), numbered AS (
+         SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+         FROM flagged)
+       SELECT user_id, sess_seq, COUNT(*) AS n_events,
+              MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sess_value
+       FROM numbered GROUP BY user_id, sess_seq
+       ORDER BY user_id, sess_seq"""
+
+  /** Latest record per key (the dedup-to-current-state operator every CDC /
+    * log pipeline needs): row_number desc = 1. Spark plans the filter as a
+    * WindowGroupLimit, so each partition keeps a 1-row heap instead of
+    * fully sorting.
+    */
+  def q48LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  val q48Sql: String =
+    """SELECT user_id, event_id, ts, event_type FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         FROM events) WHERE rn = 1
+       ORDER BY user_id"""
+
+  /** Tumbling-window batch aggregate over event time — the batch dual of
+    * the streaming `window()` aggregation (15-min windows like the
+    * reference's, on the events table).
+    */
+  def q49TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)").as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  val q49Sql: String =
+    """SELECT time_bucket(INTERVAL 15 MINUTES, ts) AS w_start, event_type,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+       FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_asof_join" -> (q46AsofJoin _),
+    "q47_sessionize" -> (q47Sessionize _),
+    "q48_latest_per_key" -> (q48LatestPerKey _),
+    "q49_tumbling_window" -> (q49TumblingWindow _))
+
+  val oracle: Map[String, String] = Map(
+    "q46_asof_join" -> q46Sql,
+    "q47_sessionize" -> q47Sql,
+    "q48_latest_per_key" -> q48Sql,
+    "q49_tumbling_window" -> q49Sql)
+}

@@ -17,7 +17,21 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the
+    * legacy flag and rebuild a microsecond TimestampType column (integer
+    * nanos→micros division — exact, no FP). Downstream operators see a
+    * normal timestamp; the scan still prunes/pushes on other columns.
+    */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
 
   /** Register every table as a temp view (idempotent) so SQL-front-end
     * queries (grouping sets, subqueries) can run against the same data the
