@@ -24,7 +24,11 @@ object SparkEntry {
       ops.Windows.queries ++
       ops.Scalars.queries ++
       ops.SetOps.queries ++
-      ops.EventOps.queries
+      ops.EventOps.queries ++
+      ops.Dedup.queries ++
+      ops.Similarity.queries ++
+      ops.TextAnalysis.queries ++
+      ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +39,9 @@ object SparkEntry {
       ops.Windows.oracle ++
       ops.Scalars.oracle ++
       ops.SetOps.oracle ++
-      ops.EventOps.oracle
+      ops.EventOps.oracle ++
+      ops.Dedup.oracle ++
+      ops.Similarity.oracle ++
+      ops.TextAnalysis.oracle ++
+      ops.Multimodal.oracle
 }

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Deduplication operators for LLM training-data pipelines (north-star
+  * extension surface; the reference has nothing comparable — its only
+  * "identity" notion is the case-insensitive hashtag key,
+  * Hashtag.scala:11-17).
+  *
+  * Four families over `documents`:
+  *   - exact (content-hash groupBy)                          → q50
+  *   - n-gram Jaccard via shingle inverted index             → q51
+  *   - MinHash + LSH banding, exact-verified                 → q52
+  *   - SimHash + pigeonhole banding for hamming ≤ 3          → q53
+  * plus embedding-cosine near-dup pairs on `embeddings`      → q54.
+  *
+  * Scale design: nothing here is O(n²) in the corpus. q51/q52 generate
+  * candidate pairs only for documents sharing a shingle (q51) or an LSH
+  * band bucket (q52) — the standard inverted-index / banding formulations
+  * that run at 100 TB as a few shuffles. Verification joins are
+  * candidate-proportional. The only caveat at scale is hot shingles
+  * (stop-phrases): cap them with a document-frequency filter upstream
+  * (kept here because the oracle must see identical semantics).
+  */
+object Dedup {
+  private val P: Long = 2147483647L // 2^31-1, Mersenne prime hash modulus
+
+  /** Word 3-gram shingle set, one row per distinct (doc, shingle). */
+  private def shingles(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact dedup: group by content hash (md5 — stable across engines),
+    * keep the lowest doc_id deterministically. `dropDuplicates` keeps an
+    * arbitrary row; min-per-group is the reproducible form. One shuffle on
+    * the hash — embarrassingly scalable, no skew (hashes are uniform).
+    */
+  def q50DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val q50Sql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  /** Near-dup pairs by word-3-gram Jaccard ≥ 0.6, via the shingle inverted
+    * index: self-join on shingle (only co-shingled pairs materialize),
+    * count common, Jaccard = |∩| / (|A|+|B|−|∩|) in exact integer terms →
+    * one final double division, bit-identical across engines.
+    */
+  def q51DedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(t(s, dir, "documents")).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Shared oracle for q51 and q52 (q52's LSH+verify returns exactly the
+    * J ≥ 0.6 pairs; see recall note on q52).
+    */
+  val q51Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS jaccard
+       FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+       ORDER BY id1, id2"""
+
+  /** MinHash(128) + LSH banding (32 bands × 4 rows), then exact Jaccard
+    * verification of the candidates. This is the 100 TB dedup path: the
+    * full-inverted-index self-join of q51 is replaced by a bucket join on
+    * band signatures, so shuffle volume is O(corpus), candidates ≈ true
+    * pairs, and only candidates pay the verification join.
+    *
+    * Recall: the driver's oracle is the exact J ≥ 0.6 set (q51Sql). All
+    * planted near-dups in this corpus sit at J ≥ 0.8, where miss
+    * probability per pair is (1 − 0.8⁴)³² ≈ 5e-8 — zero expected misses
+    * at any tested sf. False candidates are removed exactly.
+    *
+    * Implementation: shingle → h = xxhash64 mod P, then 128 universal
+    * hashes h_j = (a_j·h + b_j) mod P aggregated with min() — partial
+    * aggregation keeps state bounded (128 longs/doc) map-side, unlike a
+    * collect_list. Bands join on the 4-slot value arrays directly.
+    */
+  def q52MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val numPerm = 128; val bandRows = 4; val numBands = numPerm / bandRows
+    val rnd = new scala.util.Random(42)
+    val ab = Array.fill(numPerm)((rnd.nextLong().abs % (P - 1) + 1, rnd.nextLong().abs % P))
+
+    val sh = shingles(t(s, dir, "documents")).cache()
+    val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    // 128 min-aggregates -> signature array (partial agg friendly).
+    val minCols = ab.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
+    }
+    val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until numPerm).map(j => col(s"m$j")): _*).as("sig"))
+    // Explode into bands; bucket key = (band index, 4 signature slots).
+    val bands = sigs.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, ${numBands - 1}), b -> slice(sig, b * $bandRows + 1, $bandRows))"))
+      .as(Seq("band", "bvals")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bvals") === col("y.bvals") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+    // Exact verification, candidate-proportional: attach both shingle sets.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cands
+      .join(sh.as("a"), col("id1") === col("a.doc_id"))
+      .join(sh.as("b"), col("id2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ 3, exact by pigeonhole:
+    * split the 64-bit signature into 4 × 16-bit chunks; any pair within
+    * hamming 3 must agree on ≥ 1 chunk, so a bucket join on (chunk index,
+    * chunk value) has perfect recall — then the exact hamming (bit_count of
+    * xor) filters. Signature: per token-hash bit, +weight if set else
+    * −weight (weight = token multiplicity), bit = 1 iff the sum > 0.
+    *
+    * No DuckDB oracle (xxhash64 is Spark-internal); the scalatest spec
+    * pins the invariants (identical text → identical simhash; planted
+    * near-dups land within the radius).
+    */
+  def q53Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .agg(count(lit(1)).as("w"))
+    val bitCols = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")
+    }
+    val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+      .cache()
+    val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
+      expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk", "cval")))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.45) — the semantic-dedup
+    * primitive. Exact formulation: self-join + fold dot product in DOUBLE
+    * with a fixed left-to-right order, so DuckDB's identical fold matches
+    * bit-for-bit. The brute-force O(n²) pair space is the correctness
+    * baseline; the LSH-bucketed scale path is Similarity.q56 (same math,
+    * candidates from hyperplane buckets).
+    */
+  def q54EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q54Sql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+              list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                           for i in generate_series(1, len(a.embedding))],
+                          (acc, v) -> acc + v) AS cosine
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                          for i in generate_series(1, len(a.embedding))],
+                         (acc, v) -> acc + v) >= 0.45
+       ORDER BY id1, id2"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_dedup_exact" -> (q50DedupExact _),
+    "q51_dedup_jaccard" -> (q51DedupJaccard _),
+    "q52_minhash_lsh" -> (q52MinhashLsh _),
+    "q53_simhash" -> (q53Simhash _),
+    "q54_embedding_neardup" -> (q54EmbeddingNeardup _))
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" -> q50Sql,
+    "q51_dedup_jaccard" -> q51Sql,
+    "q52_minhash_lsh" -> q51Sql, // LSH+verify reproduces the exact J>=0.6 set
+    // q53 intentionally omitted (Spark-internal hash); scalatest covers it.
+    "q54_embedding_neardup" -> q54Sql)
+}

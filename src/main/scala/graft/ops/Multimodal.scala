@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
+  * with typed metadata, decoded/feature-extracted inside executors via
+  * typed `mapPartitions` (the JVM-side equivalent of a batched Pandas UDF:
+  * one iterator per partition, codec state amortized across the batch,
+  * nothing crosses the driver).
+  *
+  * The actual codec is STUBBED — no image/audio libraries exist in this
+  * environment — as `StubCodec.decode`, a deterministic fake that treats
+  * the payload bytes as "pixels". Everything around the stub is real and
+  * load-bearing: binary column construction, metadata schema, partition
+  * iteration, feature schema, and the downstream aggregation. Swapping
+  * `StubCodec.decode` for a JNI/javacv call is the only change a real
+  * deployment needs.
+  *
+  * Scale: decode is per-row, embarrassingly parallel, no shuffle until the
+  * final small aggregate. Partition sizing (`maxPartitionBytes`) bounds
+  * executor memory for large blobs; real deployments store blobs in
+  * object storage and keep only (uri, metadata) in the table — the decode
+  * stage then streams per-partition downloads through the same iterator.
+  */
+object Multimodal {
+
+  /** A media row: payload + metadata the pipeline carries alongside. */
+  final case class MediaRecord(doc_id: Long, source: String, media_type: String,
+                               width: Int, height: Int, payload: Array[Byte])
+
+  /** Decoded features: 16-bucket payload histogram + luminance proxy. */
+  final case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
+                                 histogram: Array[Long], mean_byte: Double)
+
+  object StubCodec {
+    /** STUB: a real implementation would decode the image/audio payload
+      * (e.g. via a JNI codec) and emit pixel/sample statistics. The fake
+      * derives features directly from payload bytes — deterministic, so
+      * the pipeline around it is testable end-to-end.
+      */
+    def decode(r: MediaRecord): MediaFeatures = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) {
+        val b = r.payload(i) & 0xff
+        hist(b / 16) += 1
+        sum += b
+        i += 1
+      }
+      MediaFeatures(r.doc_id, r.source, r.payload.length.toLong, hist,
+        if (r.payload.length == 0) 0.0 else sum.toDouble / r.payload.length)
+    }
+  }
+
+  /** documents → media table: text bytes stand in for an image payload;
+    * width/height are synthesized metadata. In production this is
+    * `spark.read.format("binaryFile")` or a parquet table with a BINARY
+    * column — same schema from here on.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), lit("image/fake").as("media_type"),
+        (pmod(col("doc_id"), lit(64)) + 32).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(48)) + 24).cast("int").as("height"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched decode: one codec pass per partition iterator. */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Per-source aggregate over decoded features: histogram summed
+    * bucket-wise (explode → group — partial agg collapses map-side) plus
+    * byte-volume stats. Oracle-checkable because the stub's features are
+    * a pure function of the (ASCII) text bytes.
+    */
+  def q70MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaTable(s, dir)).toDF()
+      .select(col("source"), col("n_bytes"), posexplode(col("histogram")).as(Seq("bucket", "n")))
+      .groupBy(col("source"), col("bucket").cast("long").as("bucket"))
+      .agg(sum(col("n")).as("n_bytes_in_bucket"))
+      .filter(col("n_bytes_in_bucket") > 0)
+      .orderBy(col("source"), col("bucket"))
+
+  val q70Sql: String =
+    """WITH bytes AS (
+         SELECT source, ascii(text[i]) AS b
+         FROM documents, UNNEST(generate_series(1, LENGTH(text))) AS t(i))
+       SELECT source, CAST(b // 16 AS BIGINT) AS bucket, COUNT(*) AS n_bytes_in_bucket
+       FROM bytes GROUP BY 1, 2 HAVING COUNT(*) > 0 ORDER BY source, bucket"""
+
+  /** Frame sampling shape: every k-th fixed-size chunk of the payload
+    * (video frame-sample dual). Emits (doc_id, frame_no, frame_bytes,
+    * checksum); checksum aggregated per source so the result is small and
+    * deterministic. The chunking/sampling happens inside the executor on
+    * the binary payload — no driver involvement.
+    */
+  def q71FrameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir)
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val frame = 32; val stride = 3 // take every 3rd 32-byte "frame"
+      r.payload.grouped(frame).zipWithIndex.collect {
+        case (chunk, idx) if idx % stride == 0 =>
+          (r.doc_id, idx.toLong, chunk.length.toLong, chunk.map(_ & 0xff).sum.toLong)
+      }
+    }.toDF("doc_id", "frame_no", "frame_len", "frame_sum")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("frame_sum")).as("payload_sum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    """WITH frames AS (
+         SELECT doc_id, (i - 1) // 32 AS frame_no, ascii(text[i]) AS b
+         FROM documents, UNNEST(generate_series(1, LENGTH(text))) AS t(i)),
+       sampled AS (SELECT doc_id, frame_no, SUM(b) AS frame_sum
+                   FROM frames WHERE frame_no % 3 = 0 GROUP BY 1, 2)
+       SELECT doc_id, COUNT(*) AS n_frames, SUM(frame_sum) AS payload_sum
+       FROM sampled GROUP BY doc_id ORDER BY doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_media_features" -> (q70MediaFeatures _),
+    "q71_frame_sample" -> (q71FrameSample _))
+
+  val oracle: Map[String, String] = Map(
+    "q70_media_features" -> q70Sql,
+    "q71_frame_sample" -> q71Sql)
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Similarity search over the embedding column (`embeddings.embedding`,
+  * Array[Float], unit-normalized so dot product = cosine).
+  *
+  * q55 is the exact baseline: brute-force top-k per query via a broadcast
+  * cross join + per-query heap (TakeOrderedAndProject shape through a
+  * row_number window). q56 is the scale path: random-hyperplane LSH
+  * restricts each probe to its bucket, turning O(|Q|·|N|) into
+  * O(|Q|·|N|/2^bits) expected — the standard recall/cost dial. Both share
+  * the same fold-ordered DOUBLE dot product so results are reproducible
+  * bit-for-bit.
+  */
+object Similarity {
+  /** Left-to-right fold dot product in DOUBLE — identical evaluation order
+    * to the DuckDB oracle's list_reduce, hence bit-identical results.
+    */
+  private val dot =
+    "aggregate(zip_with(q.embedding, n.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Exact k-NN: 20 query vectors (vec_id < 20) against the full corpus.
+    * The query side is tiny → broadcast; the corpus streams partition-local
+    * with zero shuffle of the big side; the only shuffle is the per-query
+    * top-k window over |Q|·|N| scored rows, which AQE coalesces. Output
+    * keeps ids + rank (integers) and the cosine rounded to 6 — ranking is
+    * done on the full-precision value.
+    */
+  def q55AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 20)
+    val scored = broadcast(queries.as("q")).join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        expr(dot).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q55Sql: String =
+    """WITH scored AS (
+         SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                list_reduce([CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)
+                             for i in generate_series(1, len(q.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 20)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** LSH-bucketed ANN (the 100 TB path): 8 fixed random hyperplanes →
+    * 8-bit sign bucket per vector; probes only compare within their
+    * bucket. Expected candidate fraction 1/256 of the corpus per probe
+    * (modulo cluster skew). Recall vs q55 is measured by the scalatest
+    * spec, not an oracle — approximate results are engine-specific by
+    * nature. Multi-probe (flipping low-margin bits) is the standard
+    * recall knob; single-probe keeps this entry simple.
+    */
+  def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val bits = 8
+    val rnd = new scala.util.Random(7)
+    // Deterministic hyperplanes as an inline array<array<double>> literal.
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val planesSql = planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val bucketOf = (emb: String) =>
+      s"""aggregate(sequence(0, ${bits - 1}), 0,
+            (acc, b) -> acc + CAST(
+              aggregate(zip_with($emb, element_at($planesSql, b + 1),
+                (x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) > 0
+              AS INT) * CAST(pow(2, b) AS INT))"""
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", expr(bucketOf("embedding")))
+    val queries = e.filter(col("vec_id") < 20)
+    broadcast(queries.as("q"))
+      .join(e.as("n"), col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        expr(dot).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_ann_bruteforce" -> (q55AnnBruteforce _),
+    "q56_ann_lsh" -> (q56AnnLsh _))
+
+  val oracle: Map[String, String] = Map(
+    "q55_ann_bruteforce" -> q55Sql)
+  // q56 is approximate by design — rows-only check + recall spec.
+}

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Text-analysis operators for training-data curation (north-star surface):
+  * language ID, quality scoring, token counting, fingerprinting, tf-idf.
+  * All pure Catalyst built-ins (codegen'd, no UDFs); every computation is
+  * exact-integer or single-rounded-double so the DuckDB oracle matches.
+  *
+  * Scale: each query is scan → narrow per-row transforms (+ one shuffle
+  * where an aggregate/window needs it). Token explosion multiplies rows by
+  * ~avg-doc-length; at 100 TB the explode output never materializes — it
+  * flows straight into the partial aggregate.
+  */
+object TextAnalysis {
+
+  /** Stopword-profile language ID (n-gram heuristic): score each candidate
+    * language by its marker-token hits, pick the argmax (ties → language
+    * name ascending — deterministic). On this synthetic corpus every doc
+    * shares one vocabulary, so the *accuracy* is meaningless — the operator
+    * under test is the scoring/argmax machinery, reported as a confusion
+    * matrix (true lang × predicted) that the oracle reproduces exactly.
+    */
+  def q60Langid(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and", "fast"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    val docs = t(s, dir, "documents").withColumn("toks", split(col("text"), " "))
+    val scoreCols = markers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(toks, t -> t IN ($inList)))").as(s"sc_$lang")
+    }
+    val scored = docs.select((col("doc_id") +: col("lang").as("true_lang") +: scoreCols): _*)
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.foldRight("'und'") { (l, els) => s"IF(sc_$l = $best AND $best > 0, '$l', $els)" }
+    scored
+      .withColumn("pred_lang", expr(pred))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  val q60Sql: String = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of", "and", "fast"),
+      "es" -> Seq("el", "la", "de", "y", "que"),
+      "de" -> Seq("der", "die", "und", "ist", "das"),
+      "fr" -> Seq("le", "la", "et", "les", "des"),
+      "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+    val langs = markers.keys.toSeq.sorted
+    val scoreExprs = langs.map { l =>
+      val inList = markers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS sc_$l"
+    }.mkString(", ")
+    val best = langs.map(l => s"sc_$l").mkString("greatest(", ", ", ")")
+    val pred = langs.foldRight("'und'") { (l, els) => s"IF(sc_$l = $best AND $best > 0, '$l', $els)" }
+    s"""WITH scored AS (SELECT doc_id, lang AS true_lang, $scoreExprs FROM documents)
+        SELECT true_lang, $pred AS pred_lang, COUNT(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY true_lang, pred_lang"""
+  }
+
+  /** Quality scoring: length, mean token length, type/token ratio, stopword
+    * ratio — the classic cheap curation features. All ratios are exact
+    * integer divisions done once in DOUBLE, then a linear score. Per-row
+    * only: no shuffle except the final presentation sort.
+    */
+  def q61Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("n_types", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("n_stop", expr("CAST(size(filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)"))
+      .select(
+        col("doc_id"), col("n_chars"), col("n_toks"),
+        (col("n_chars").cast("double") / col("n_toks")).as("mean_tok_len"),
+        (col("n_types").cast("double") / col("n_toks")).as("type_token_ratio"),
+        (col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        (col("n_toks") >= 20 && col("n_toks") <= 1000 &&
+          col("n_types").cast("double") / col("n_toks") >= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+
+  val q61Sql: String =
+    """WITH f AS (SELECT doc_id, n_chars,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT) AS n_stop
+         FROM documents)
+       SELECT doc_id, n_chars, n_toks,
+              CAST(n_chars AS DOUBLE) / n_toks AS mean_tok_len,
+              CAST(n_types AS DOUBLE) / n_toks AS type_token_ratio,
+              CAST(n_stop AS DOUBLE) / n_toks AS stop_ratio,
+              (n_toks >= 20 AND n_toks <= 1000 AND CAST(n_types AS DOUBLE) / n_toks >= 0.2) AS keep
+       FROM f ORDER BY doc_id"""
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other-glyph) — the cheap
+    * proxy for "how many tokens will the trainer see". Both engines run
+    * the same regex (RE2-compatible pattern, no engine-specific syntax).
+    */
+  def q62TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("bpe_tokens"),
+        (length(col("text")).cast("double") /
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))")).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  val q62Sql: String =
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+              CAST(LENGTH(text) AS DOUBLE) / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS chars_per_token
+       FROM documents ORDER BY doc_id"""
+
+  /** Rolling-hash document fingerprint: position-weighted polynomial over
+    * per-token integer features, all mod 2^31−1 in exact 64-bit integer
+    * arithmetic (base 5^(pos mod 8) ≤ 78125, token feature < 2^31 → no
+    * overflow, engine-identical). The fingerprint is stable under content
+    * equality and cheap to compare — the primitive behind shard-level
+    * dedup manifests.
+    */
+  def q63Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("tf", pmod(length(col("tok")).cast("long") * 2654435761L +
+        ascii(substring(col("tok"), 1, 1)).cast("long") * 97L, lit(2147483647L)))
+      .groupBy(col("doc_id"))
+      .agg(pmod(sum(col("tf") * expr("CAST(pow(5, pos % 8) AS BIGINT)")), lit(2147483647L)).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val q63Sql: String =
+    """WITH toks AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                unnest(string_split(text, ' ')) AS tok
+         FROM documents)
+       SELECT doc_id,
+              (SUM(((LENGTH(tok) * 2654435761 + ascii(substring(tok, 1, 1)) * 97) % 2147483647)
+                   * CAST(pow(5, pos % 8) AS BIGINT))) % 2147483647 AS fingerprint,
+              COUNT(*) AS n_tokens
+       FROM toks GROUP BY doc_id ORDER BY doc_id"""
+
+  /** tf-idf top-3 terms per document: explode → tf per (doc, term), df per
+    * term, idf = ln((N+1)/(df+1)) on exact integer inputs, score rounded
+    * once. The df side is term-cardinality-sized → broadcast; N is a
+    * scalar. Per-doc top-3 via row_number (WindowGroupLimit prunes early).
+    */
+  def q64Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count() // dimension-scale action; at 100 TB use a precomputed stat
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q64Sql: String =
+    """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+       n AS (SELECT COUNT(*) AS n FROM documents),
+       scored AS (
+         SELECT doc_id, term,
+                ROUND(tf * LN(CAST(n + 1 AS DOUBLE) / (df + 1)), 6) AS score
+         FROM tf JOIN df USING (term), n)
+       SELECT doc_id, rank, term, score FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 3 ORDER BY doc_id, rank"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_langid" -> (q60Langid _),
+    "q61_quality" -> (q61Quality _),
+    "q62_token_stats" -> (q62TokenStats _),
+    "q63_fingerprint" -> (q63Fingerprint _),
+    "q64_tfidf" -> (q64Tfidf _))
+
+  val oracle: Map[String, String] = Map(
+    "q60_langid" -> q60Sql,
+    "q61_quality" -> q61Sql,
+    "q62_token_stats" -> q62Sql,
+    "q63_fingerprint" -> q63Sql,
+    "q64_tfidf" -> q64Sql)
+}
