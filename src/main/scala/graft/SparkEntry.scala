@@ -25,6 +25,7 @@ object SparkEntry {
       ops.Scalars.queries ++
       ops.SetOps.queries ++
       ops.EventOps.queries ++
+      ops.Hashtags.queries ++
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       ops.Scalars.oracle ++
       ops.SetOps.oracle ++
       ops.EventOps.oracle ++
+      ops.Hashtags.oracle ++
       ops.Dedup.oracle ++
       ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++

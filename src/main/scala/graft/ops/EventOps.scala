@@ -141,13 +141,46 @@ object EventOps {
               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
        FROM events GROUP BY 1, 2 ORDER BY w_start, event_type"""
 
+  /** Native session windows (30-min gap) in batch — the same operator the
+    * streaming side uses with a watermark. Spark merges events whose gaps
+    * are < the timeout; window.end = last event + gap. The oracle
+    * reproduces that with the lag/cumsum formulation (q47's), proving the
+    * two sessionization paths agree.
+    */
+  def q38SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("sess_start"),
+        col("sw.end").as("sess_end"), col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val q38Sql: String =
+    """WITH flagged AS (
+         SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                     THEN 1 ELSE 0 END AS new_sess
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+       ), numbered AS (
+         SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+         FROM flagged)
+       SELECT user_id, MIN(ts) AS sess_start,
+              MAX(ts) + INTERVAL 30 MINUTES AS sess_end, COUNT(*) AS n_events
+       FROM numbered GROUP BY user_id, sess_seq
+       ORDER BY user_id, sess_start"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_session_window" -> (q38SessionWindow _),
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_sessionize" -> (q47Sessionize _),
     "q48_latest_per_key" -> (q48LatestPerKey _),
     "q49_tumbling_window" -> (q49TumblingWindow _))
 
   val oracle: Map[String, String] = Map(
+    "q38_session_window" -> q38Sql,
     "q46_asof_join" -> q46Sql,
     "q47_sessionize" -> q47Sql,
     "q48_latest_per_key" -> q48Sql,

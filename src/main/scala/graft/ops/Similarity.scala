@@ -59,33 +59,45 @@ object Similarity {
          FROM scored)
        WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  /** LSH-bucketed ANN (the 100 TB path): 8 fixed random hyperplanes →
-    * 8-bit sign bucket per vector; probes only compare within their
-    * bucket. Expected candidate fraction 1/256 of the corpus per probe
-    * (modulo cluster skew). Recall vs q55 is measured by the scalatest
-    * spec, not an oracle — approximate results are engine-specific by
-    * nature. Multi-probe (flipping low-margin bits) is the standard
-    * recall knob; single-probe keeps this entry simple.
+  /** Multi-table hyperplane-LSH ANN (the 100 TB path): L = 16 independent
+    * tables of r = 4 sign bits; a probe compares only against vectors
+    * sharing a bucket in ≥ 1 table. Collision probability per table for
+    * angle θ is (1 − θ/π)^r, so at cos ≈ 0.5 (θ = 60°, per-bit agreement
+    * 2/3) recall across 16 tables is 1 − (1 − (2/3)⁴)¹⁶ ≈ 0.97, while a
+    * random pair (per-bit 1/2) collides somewhere with prob
+    * 1 − (1 − 1/16)¹⁶ ≈ 0.64. This near-uniform corpus is hyperplane
+    * LSH's worst case — real embedding corpora cluster, pushing the true-
+    * neighbor per-bit agreement toward 1 and the candidate fraction down;
+    * (L, r) is the recall/cost dial. Recall vs q55 is pinned by the
+    * scalatest spec, not an oracle — ANN results are approximate by design.
     */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val dim = 64; val bits = 8
+    val dim = 64; val bits = 4; val tables = 16
     val rnd = new scala.util.Random(7)
-    // Deterministic hyperplanes as an inline array<array<double>> literal.
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    // Deterministic hyperplanes: tables × bits × dim, inline literal.
+    val planes = Array.fill(tables * bits, dim)(rnd.nextGaussian())
     val planesSql = planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
-    val bucketOf = (emb: String) =>
-      s"""aggregate(sequence(0, ${bits - 1}), 0,
-            (acc, b) -> acc + CAST(
-              aggregate(zip_with($emb, element_at($planesSql, b + 1),
-                (x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) > 0
-              AS INT) * CAST(pow(2, b) AS INT))"""
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", expr(bucketOf("embedding")))
-    val queries = e.filter(col("vec_id") < 20)
-    broadcast(queries.as("q"))
-      .join(e.as("n"), col("q.bucket") === col("n.bucket") && col("q.vec_id") =!= col("n.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
-        expr(dot).as("cosine"))
+    // bucket(tbl) = sign bits of hyperplanes [tbl*bits, (tbl+1)*bits).
+    val bucketsOf = (emb: String) =>
+      s"""transform(sequence(0, ${tables - 1}), tbl ->
+            aggregate(sequence(0, ${bits - 1}), 0,
+              (acc, b) -> acc * 2 + CAST(
+                aggregate(zip_with($emb, element_at($planesSql, tbl * $bits + b + 1),
+                  (x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) > 0
+                AS INT)))"""
+    val tabbed = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(bucketsOf("embedding"))).as(Seq("tbl", "bucket")))
+    val probes = tabbed.filter(col("vec_id") < 20)
+    broadcast(probes.as("q"))
+      .join(tabbed.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("q.embedding").as("q_emb"),
+        col("n.vec_id").as("neighbor_id"), col("n.embedding").as("n_emb"))
+      .distinct() // a pair may collide in several tables; score once
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("cosine"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))

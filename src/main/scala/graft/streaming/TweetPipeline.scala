@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's core capability — top-5 hashtags over a sliding
+  * 15-minute window refreshed every 10 s (SparkApplication.scala:57-95) —
+  * rebuilt as composable DataFrame stages that run identically under batch
+  * and Structured Streaming.
+  *
+  * Deliberate upgrades over the reference (SURVEY.md §7.4):
+  *   - malformed JSON is dropped, not task-fatal (PERMISSIVE from_json vs
+  *     `new JSONObject(line)` throwing at SparkApplication.scala:67);
+  *   - event-time windows + watermark instead of processing-time
+  *     (reference has no watermark and loses the window on restart);
+  *   - Structured Streaming's stateful agg is incremental — the reference
+  *     re-reduces ~90 batch RDDs per 10 s slide (2-arg
+  *     reduceByKeyAndWindow, no inverse, SparkApplication.scala:88);
+  *   - deterministic display casing (min(text) per case-insensitive key —
+  *     the reference keeps whichever key instance the shuffle retained,
+  *     Hashtag.scala:11-17);
+  *   - deterministic top-5 tie-break (count desc, tag asc);
+  *   - atomic result-file publication (temp + ATOMIC_MOVE vs the torn-read
+  *     window of FileUtils.write at SparkApplication.scala:125).
+  */
+object TweetPipeline {
+
+  /** Blacklist from SparkApplication.scala:29, matched case-insensitively
+    * as the reference does at :77.
+    */
+  val WordBlacklist: Seq[String] = Seq("europe", "europa", "eu", "euro")
+
+  /** Only the fields the reference reads (SparkApplication.scala:66-74). */
+  val tweetSchema: StructType = StructType(Seq(
+    StructField("entities", StructType(Seq(
+      StructField("hashtags", ArrayType(StructType(Seq(
+        StructField("text", StringType))))))))))
+
+  /** value: STRING (+ ts) → one row per surviving hashtag.
+    * PERMISSIVE parse → null entities for garbage lines → filtered, matching
+    * the reference's "tweets without entities emit nothing" branch
+    * (SparkApplication.scala:82-83) while also surviving malformed JSON.
+    */
+  def extractHashtags(tweets: DataFrame): DataFrame =
+    tweets
+      .withColumn("parsed", from_json(col("value"), tweetSchema))
+      .select(col("ts"), explode_outer(col("parsed.entities.hashtags.text")).as("tag"))
+      .filter(col("tag").isNotNull && length(col("tag")) > 0)
+      .filter(!lower(col("tag")).isin(WordBlacklist: _*))
+
+  /** Case-insensitive counting with deterministic display casing.
+    * Batch form: single groupBy.
+    */
+  def countTags(hashtags: DataFrame): DataFrame =
+    hashtags
+      .groupBy(lower(col("tag")).as("key"))
+      .agg(min(col("tag")).as("hashtag"), count(lit(1)).as("count"))
+
+  /** Deterministic top-k: count desc, then display tag asc. Plans as
+    * TakeOrderedAndProject — per-partition heaps, no total sort
+    * (strictly better than the reference's sortByKey+take at
+    * SparkApplication.scala:90-93).
+    */
+  def topK(counts: DataFrame, k: Int = 5): DataFrame =
+    counts.orderBy(col("count").desc, col("hashtag").asc).limit(k)
+
+  /** Full batch pipeline: raw tweet lines → top-5 rows. */
+  def batchTop5(tweets: DataFrame, k: Int = 5): DataFrame =
+    topK(countTags(extractHashtags(tweets)), k)
+
+  /** Streaming form: sliding event-time window with watermark. Emits one
+    * row per (window, key) — callers slice the latest window and top-5 it
+    * in foreachBatch (see [[AnalyticSink]]).
+    */
+  def windowedCounts(tweets: DataFrame,
+                     windowLen: String = "15 minutes",
+                     slide: String = "10 seconds",
+                     watermark: String = "1 minute"): DataFrame =
+    extractHashtags(tweets)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), lower(col("tag")).as("key"))
+      .agg(min(col("tag")).as("hashtag"), count(lit(1)).as("count"))
+
+  /** Run the streaming pipeline end-to-end: parse → windowed counts →
+    * per-batch top-5 of the most recent closed window → atomic JSON doc.
+    * Complete output mode (windowed counts without append-finality needs
+    * it for the "current leaderboard" semantics the reference's dashboard
+    * polls).
+    */
+  def run(spark: SparkSession, tweets: DataFrame, resultPath: String,
+          triggerInterval: String = "10 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCounts(tweets)
+      .writeStream
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = batch.select(max(col("window.start"))).first()
+        if (!latest.isNullAt(0)) {
+          val top = topK(
+            batch.filter(col("window.start") === latest.getTimestamp(0))
+              .select(col("hashtag"), col("count")), 5)
+            .collect()
+          AnalyticSink.write(resultPath, top.map(r => (r.getString(0), r.getLong(1))))
+        }
+      }
+      .start()
+}
+
+/** Atomic writer for the reference's result-document contract
+  * (web/analytic.json:1-25): {"items":[{"hashtag","count"}...],"datetime"}.
+  * Temp-file + ATOMIC_MOVE fixes the torn-read window of the reference's
+  * in-place overwrite (SparkApplication.scala:125).
+  */
+object AnalyticSink {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.time.OffsetDateTime
+  import java.time.format.DateTimeFormatter
+
+  def render(items: Seq[(String, Long)], datetime: String): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val body = items.map { case (tag, n) => s"""{"hashtag":"${esc(tag)}","count":$n}""" }
+    s"""{"items":[${body.mkString(",")}],"datetime":"$datetime"}"""
+  }
+
+  def write(path: String, items: Seq[(String, Long)]): Unit = {
+    val doc = render(items,
+      OffsetDateTime.now().format(DateTimeFormatter.ISO_OFFSET_DATE_TIME))
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val tmp = Files.createTempFile(
+      if (target.getParent != null) target.getParent else Paths.get("."), ".analytic", ".tmp")
+    Files.writeString(tmp, doc)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants the DuckDB oracle can't check: SimHash (Spark-internal
+  * hashes), LSH recall vs exact baselines, HLL estimate bounds.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash+LSH returns exactly the J>=0.6 pairs (recall check vs q51)") {
+    val exact = ops.Dedup.q51DedupJaccard(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = ops.Dedup.q52MinhashLsh(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty) // testdata plants near-dups; empty would be vacuous
+  }
+
+  test("simhash: identical text yields identical signature, near-dups land within radius") {
+    val pairs = ops.Dedup.q53Simhash(spark, sfDir)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.forall(_._3 <= 3))
+    // Planted Jaccard near-dups (J>=0.8, ~99% shared tokens) must largely
+    // surface as simhash near-dups too.
+    val jacc = ops.Dedup.q51DedupJaccard(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sim = pairs.map(p => (p._1, p._2)).toSet
+    assert(jacc.nonEmpty && (jacc & sim).size * 2 >= jacc.size,
+      s"simhash found ${(jacc & sim).size} of ${jacc.size} planted near-dups")
+  }
+
+  test("ANN LSH results are a subset of brute-force rankings' pairs with decent recall") {
+    val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = ops.Similarity.q56AnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // 16 tables x 4 bits: expected recall ~0.97 at cos 0.5 on this
+    // near-uniform corpus (see q56 scaladoc); assert a safe floor.
+    assert(lsh.nonEmpty)
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH recall $recall vs exact top-5")
+  }
+
+  test("approx_count_distinct is within 5% of exact at sf0.001") {
+    val approx = ops.Aggregates.q16ApproxDistinct(spark, sfDir)
+      .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
+    val exact = graft.sources.Tables.t(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .select("l_returnflag", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05, s"$k: ${approx(k)} vs $n")
+    }
+  }
+
+  test("exact dedup keeps one representative per distinct content") {
+    val kept = ops.Dedup.q50DedupExact(spark, sfDir)
+    val total = graft.sources.Tables.t(spark, sfDir, "documents").count()
+    assert(kept.agg(sum("n_copies")).as[Long].head() == total)
+    assert(kept.select("text_hash").distinct().count() == kept.count())
+  }
+
+  test("multimodal stub codec is deterministic and histogram sums to payload length") {
+    val r = ops.Multimodal.MediaRecord(1L, "s", "image/fake", 8, 8,
+      "hello world".getBytes("UTF-8"))
+    val f1 = ops.Multimodal.StubCodec.decode(r)
+    val f2 = ops.Multimodal.StubCodec.decode(r)
+    assert(f1.histogram.toSeq == f2.histogram.toSeq)
+    assert(f1.histogram.sum == r.payload.length)
+    assert(f1.n_bytes == 11L)
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{StatefulOps, TweetPipeline}
+import graft.streaming.StatefulOps.Event
+
+/** Streaming semantics via MemoryStream + processAllAvailable
+  * (SURVEY.md §5 item 2): sliding-window contents, incremental updates,
+  * stateful sessionization, watermark-bounded dedup.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def tweetAt(time: String, tags: String*): (String, Timestamp) =
+    (s"""{"entities":{"hashtags":[${tags.map(t => s"""{"text":"$t"}""").mkString(",")}]}}""",
+      ts(time))
+
+  test("sliding 15-minute window counts accumulate across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val counts = TweetPipeline.windowedCounts(
+      in.toDF().toDF("value", "ts"), windowLen = "15 minutes", slide = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "A", "B"))
+      q.processAllAvailable()
+      in.addData(tweetAt("2024-01-01 00:06:00", "A"))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select(col("window.start").cast("string"), col("key"), col("count"))
+        .as[(String, String, Long)].collect().toSet
+      // 00:01 event lands in slides starting 23:50, 23:55, 00:00; 00:06 in 23:55..00:05.
+      assert(rows.contains(("2024-01-01 00:00:00", "a", 2L))) // both events
+      assert(rows.contains(("2024-01-01 00:05:00", "a", 1L))) // only the 00:06 event
+      assert(rows.contains(("2024-01-01 00:00:00", "b", 1L)))
+      assert(rows.contains(("2023-12-31 23:55:00", "a", 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = StatefulOps.sessionize(in.toDS(), gapSeconds = 600)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), 1.0),
+        Event(1L, ts("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      // A >10-min gap: the first session closes inline when the next batch's
+      // events arrive past the gap.
+      in.addData(Event(1L, ts("2024-01-01 01:00:00"), 5.0))
+      q.processAllAvailable()
+      in.addData(Event(2L, ts("2024-01-01 02:00:00"), 0.0)) // advance watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[StatefulOps.SessionOut].collect()
+        .filter(_.userId == 1L).sortBy(_.startMs)
+      assert(sessions.length >= 1)
+      assert(sessions.head.nEvents == 2 && sessions.head.total == 3.0)
+      assert(sessions.head.endMs - sessions.head.startMs == 5 * 60 * 1000)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes same-key re-deliveries") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = StatefulOps.dedupWithinWatermark(in.toDS(), watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      val e = Event(7L, ts("2024-01-01 00:00:00"), 1.0)
+      in.addData(e, e) // duplicate within one batch
+      q.processAllAvailable()
+      in.addData(e) // re-delivery in a later batch, still inside watermark
+      q.processAllAvailable()
+      assert(spark.table("deduped").count() == 1)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals update incrementally") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val out = StatefulOps.runningTotals(in.toDS())
+    val q = out.writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      in.addData(Event(1L, ts("2024-01-01 00:00:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(Event(1L, ts("2024-01-01 00:01:00"), 3.0))
+      q.processAllAvailable()
+      val last = spark.table("totals").as[StatefulOps.KeyTotal].collect()
+        .filter(_.userId == 1L).maxBy(_.n)
+      assert(last.n == 2 && last.total == 5.0)
+    } finally q.stop()
+  }
+
+  test("end-to-end streaming pipeline writes the analytic.json document") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val dir = java.nio.file.Files.createTempDirectory("stream_sink")
+    val path = dir.resolve("analytic.json").toString
+    val q = TweetPipeline.run(spark, in.toDF().toDF("value", "ts"), path,
+      triggerInterval = "0 seconds")
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "Brexit", "Brexit", "Remain"))
+      q.processAllAvailable()
+      val content = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      assert(content.contains(""""hashtag":"Brexit","count":2"""))
+      assert(content.contains(""""datetime":"""))
+    } finally q.stop()
+  }
+}
