@@ -186,10 +186,16 @@ object Dedup {
     * candidates from hyperplane buckets).
     */
   def q54EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // Hoist the float->double cast to one projection per vector (exact
+    // conversion, fold order unchanged -> still bit-identical vs DuckDB);
+    // graft_dot is the codegen'd sequential fold (functions package) —
+    // same rounding as the SQL aggregate(zip_with(..)) it replaces.
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("cosine"))
+        expr("graft_dot(a.emb, b.emb)").as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("id1"), col("id2"))
   }

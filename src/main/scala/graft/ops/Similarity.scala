@@ -16,11 +16,12 @@ import graft.sources.Tables.t
   * bit-for-bit.
   */
 object Similarity {
-  /** Left-to-right fold dot product in DOUBLE — identical evaluation order
-    * to the DuckDB oracle's list_reduce, hence bit-identical results.
+  /** Left-to-right fold dot product in DOUBLE (graft_dot, the codegen'd
+    * expression in graft.functions) — identical evaluation order to the
+    * DuckDB oracle's list_reduce, hence bit-identical results.
     */
   private val dot =
-    "aggregate(zip_with(q.embedding, n.embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    "graft_dot(transform(q.embedding, x -> CAST(x AS DOUBLE)), transform(n.embedding, x -> CAST(x AS DOUBLE)))"
 
   /** Exact k-NN: 20 query vectors (vec_id < 20) against the full corpus.
     * The query side is tiny → broadcast; the corpus streams partition-local
@@ -30,6 +31,7 @@ object Similarity {
     * done on the full-precision value.
     */
   def q55AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val queries = e.filter(col("vec_id") < 20)
     val scored = broadcast(queries.as("q")).join(e.as("n"), col("q.vec_id") =!= col("n.vec_id"))
@@ -72,6 +74,7 @@ object Similarity {
     * scalatest spec, not an oracle — ANN results are approximate by design.
     */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val dim = 64; val bits = 4; val tables = 16
     val rnd = new scala.util.Random(7)
     // Deterministic hyperplanes: tables × bits × dim, inline literal.
@@ -97,7 +100,7 @@ object Similarity {
         col("n.vec_id").as("neighbor_id"), col("n.embedding").as("n_emb"))
       .distinct() // a pair may collide in several tables; score once
       .select(col("query_id"), col("neighbor_id"),
-        expr("aggregate(zip_with(q_emb, n_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("cosine"))
+        expr("graft_dot(transform(q_emb, x -> CAST(x AS DOUBLE)), transform(n_emb, x -> CAST(x AS DOUBLE)))").as("cosine"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
