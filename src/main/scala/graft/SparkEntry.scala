@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++
       ops.Aggregates.queries ++
+      ops.Aggregates2.queries ++
       ops.Windows.queries ++
       ops.Scalars.queries ++
       ops.SetOps.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++
       ops.Aggregates.oracle ++
+      ops.Aggregates2.oracle ++
       ops.Windows.oracle ++
       ops.Scalars.oracle ++
       ops.SetOps.oracle ++
