@@ -1,0 +1,100 @@
+package graft
+
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.streaming.TweetPipeline
+
+/** Property-based invariants (SURVEY.md §5 item 5): hold for arbitrary
+  * inputs, not just fixtures. scalacheck Gens are driven by a fixed seed
+  * (deterministic CI) via a small hand-rolled forAll — the scalatestplus
+  * bridge isn't among the allowed deps.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 15)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    (0 until n).foreach { _ =>
+      gen.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](genA: Gen[A], genB: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(genA, genB))(p => f(p._1, p._2))
+
+  private val tagGen = Gen.nonEmptyListOf(Gen.oneOf(
+    "Brexit", "brexit", "BREXIT", "Spark", "scala", "EU", "europe", "Data", "ai", "ML"))
+
+  test("top-k is a prefix of the fully sorted counts, for any tag multiset") {
+    forAll(tagGen) { tags =>
+      val tweets = tags.map(t => s"""{"entities":{"hashtags":[{"text":"$t"}]}}""")
+        .toDF("value")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val all = TweetPipeline.countTags(TweetPipeline.extractHashtags(tweets))
+        .orderBy(col("count").desc, col("hashtag").asc)
+        .select("hashtag", "count").as[(String, Long)].collect().toSeq
+      val top = TweetPipeline.batchTop5(tweets, 3)
+        .select("hashtag", "count").as[(String, Long)].collect().toSeq
+      assert(top == all.take(3))
+      // Counts conserve: total surviving hashtags == sum of group counts.
+      val surviving = tags.count(t => !TweetPipeline.WordBlacklist.contains(t.toLowerCase))
+      assert(all.map(_._2).sum == surviving)
+    }
+  }
+
+  test("count is case-insensitive: keys are distinct after lowercasing") {
+    forAll(tagGen) { tags =>
+      val tweets = tags.map(t => s"""{"entities":{"hashtags":[{"text":"$t"}]}}""")
+        .toDF("value")
+        .withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      val keys = TweetPipeline.countTags(TweetPipeline.extractHashtags(tweets))
+        .select("key").as[String].collect().toSeq
+      assert(keys == keys.map(_.toLowerCase).distinct)
+    }
+  }
+
+  test("exact dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    val docs = Seq("a b c", "a b c", "x y", "x y", "z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def dedup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+        .select("doc_id", "text")
+    val once = dedup(docs).collect().toSet
+    val twice = dedup(dedup(docs)).collect().toSet
+    assert(once == twice)
+    assert(once.size == 3)
+  }
+
+  test("graft_dot equals the interpreted fold on arbitrary vectors") {
+    graft.functions.VectorExpressions.register(spark)
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val native = df.select(expr("graft_dot(a, b)")).as[Double].head()
+      val folded = df.select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .as[Double].head()
+      assert(native == folded) // bit-identical, not approximately
+    }
+  }
+
+  test("simhash of identical token multisets is identical regardless of order") {
+    // Permuting tokens must not change the signature (bag-of-words hash).
+    val base = "spark scala data fast slow table join"
+    val perm = "join table slow fast data scala spark"
+    val df = Seq((0L, base), (1L, perm)).toDF("doc_id", "text")
+    df.createOrReplaceTempView("simhash_prop_docs")
+    // Reuse the q53 signature computation shape inline.
+    val sigs = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h")).agg(count(lit(1)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg((0 until 8).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")).head,
+        (1 until 8).map(i =>
+          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")): _*)
+    val rows = sigs.collect().map(r => (0 until 8).map(i => r.getLong(i + 1)).toSeq)
+    assert(rows(0) == rows(1))
+  }
+}
