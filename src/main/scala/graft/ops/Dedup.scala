@@ -110,12 +110,11 @@ object Dedup {
 
     val sh = shingles(t(s, dir, "documents")).cache()
     val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
-    // 128 min-aggregates -> signature array (partial agg friendly).
-    val minCols = ab.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(lit(a) * col("h") + lit(b), lit(P))).as(s"m$j")
-    }
-    val sigs = hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until numPerm).map(j => col(s"m$j")): _*).as("sig"))
+    // One typed sketch aggregate computes the whole 128-slot signature
+    // (bounded array buffer, map-side mergeable) — measured faster than
+    // 128 separate min() aggregate columns.
+    val mh = udaf(new graft.functions.MinHashAgg(numPerm, ab, P))
+    val sigs = hashed.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
     // Explode into bands; bucket key = (band index, 4 signature slots).
     val bands = sigs.select(col("doc_id"), posexplode(
       expr(s"transform(sequence(0, ${numBands - 1}), b -> slice(sig, b * $bandRows + 1, $bandRows))"))
