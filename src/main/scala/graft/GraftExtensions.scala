@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProductExpr
+
+/** Library packaging hook: installs graft's custom expressions into any
+  * session via the standard extension point —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * so `SELECT graft_dot(a, b)` works from pure SQL with no per-query
+  * registration. The imperative `VectorExpressions.register(spark)` path
+  * stays for sessions the library doesn't own (e.g. the driver harness
+  * builds the SparkSession itself).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductExpr(children(0), children(1))))
+  }
+}

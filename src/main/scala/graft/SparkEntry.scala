@@ -27,6 +27,7 @@ object SparkEntry {
       ops.SetOps.queries ++
       ops.EventOps.queries ++
       ops.Hashtags.queries ++
+      ops.Skew.queries ++
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       ops.SetOps.oracle ++
       ops.EventOps.oracle ++
       ops.Hashtags.oracle ++
+      ops.Skew.oracle ++
       ops.Dedup.oracle ++
       ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Scale techniques that need their own setup rather than a driver query:
+  * bucketed co-located joins (no exchange), stream-stream joins with
+  * watermarked interval conditions, extension-based function install.
+  */
+class ScaleTechniquesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // External tables (explicit path) — warehouse dir is static config.
+    val wh = java.nio.file.Files.createTempDirectory("warehouse").toString
+    val li = graft.sources.Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = graft.sources.Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    li.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"$wh/li_b").saveAsTable("li_b")
+    ord.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"$wh/ord_b").saveAsTable("ord_b")
+    try {
+      // Disable broadcast so the co-located SMJ is observable.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must not shuffle:\n" + plan)
+      assert(joined.count() == li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("stream-stream interval join with watermarks on both sides") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val signups = MemoryStream[(Long, Timestamp)]
+    val p = purchases.toDF().toDF("user_id", "p_ts").withWatermark("p_ts", "10 minutes")
+    val sg = signups.toDF().toDF("s_user_id", "s_ts").withWatermark("s_ts", "10 minutes")
+    // purchase joined to a signup at most 1 hour earlier (bounded state on
+    // both sides thanks to watermark + interval condition).
+    val joined = p.join(sg,
+      col("user_id") === col("s_user_id") &&
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      signups.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+      purchases.addData((1L, ts("2024-01-01 00:30:00"))) // inside the hour
+      purchases.addData((2L, ts("2024-01-01 02:00:00"))) // outside -> no match
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").select("user_id").as[Long].collect().toSeq
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("graft_dot is callable from pure SQL after registration; extension injection works") {
+    // The injection function GraftExtensions wires up (we own this logic):
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // SQL-surface check on the session (imperative registration path):
+    graft.functions.VectorExpressions.register(spark)
+    val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("salted join returns exactly the plain join result (semantics preserved)") {
+    val salted = ops.Skew.q57SaltedJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val plain = graft.sources.Tables.t(spark, sfDir, "lineitem")
+      .join(graft.sources.Tables.t(spark, sfDir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").as("revenue"))
+      .orderBy(col("s_suppkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(salted == plain)
+  }
+}
