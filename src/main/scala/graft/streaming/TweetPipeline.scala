@@ -101,7 +101,8 @@ object TweetPipeline {
             batch.filter(col("window.start") === latest.getTimestamp(0))
               .select(col("hashtag"), col("count")), 5)
             .collect()
-          AnalyticSink.write(resultPath, top.map(r => (r.getString(0), r.getLong(1))))
+          AnalyticSink.write(resultPath,
+            top.map(r => (r.getString(0), r.getLong(1))).toSeq)
         }
       }
       .start()
