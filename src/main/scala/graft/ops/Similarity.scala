@@ -88,19 +88,27 @@ object Similarity {
                 aggregate(zip_with($emb, element_at($planesSql, tbl * $bits + b + 1),
                   (x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) > 0
                 AS INT)))"""
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val tabbed = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         posexplode(expr(bucketsOf("embedding"))).as(Seq("tbl", "bucket")))
     val probes = tabbed.filter(col("vec_id") < 20)
-    broadcast(probes.as("q"))
+    // Candidate id pairs first (a pair may collide in several tables —
+    // distinct on the ids, NOT on rows carrying the vectors), then join
+    // the vectors back for one scoring pass.
+    val cands = broadcast(probes.as("q"))
       .join(tabbed.as("n"),
         col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
           col("q.vec_id") =!= col("n.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("q.embedding").as("q_emb"),
-        col("n.vec_id").as("neighbor_id"), col("n.embedding").as("n_emb"))
-      .distinct() // a pair may collide in several tables; score once
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
+      .distinct()
+    cands
+      .join(broadcast(emb.filter(col("vec_id") < 20).withColumnRenamed("emb", "q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(emb.withColumnRenamed("emb", "n_emb"), col("neighbor_id") === col("vec_id"))
       .select(col("query_id"), col("neighbor_id"),
-        expr("graft_dot(transform(q_emb, x -> CAST(x AS DOUBLE)), transform(n_emb, x -> CAST(x AS DOUBLE)))").as("cosine"))
+        expr("graft_dot(q_emb, n_emb)").as("cosine"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
