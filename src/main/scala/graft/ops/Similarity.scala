@@ -118,11 +118,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN — the other standard scale path the prompt
+    * names: a coarse quantizer (KMeans, fixed seed, k=16) partitions the
+    * corpus into cells; each probe scores only the vectors in its
+    * `nProbe`=4 nearest cells (expected candidate fraction nProbe/k of
+    * the corpus). Training cost is one pass over a sample (here: all
+    * rows — at 100 TB train on a sample, the assignment stays a single
+    * broadcast-centroid map job). Approximate → rows-only check + recall
+    * spec vs q55, like q56.
+    */
+  def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val k = 16; val nProbe = 4
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.withColumn("features", array_to_vector(col("emb"))).cache()
+    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feat)
+    val assigned = km.transform(feat).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+    // Broadcast the k centroids as literal arrays; rank cells per probe.
+    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centDf = s.createDataFrame(cents).toDF("cell", "centroid")
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
+    val probeCells = probes.crossJoin(broadcast(centDf))
+      .withColumn("d", expr("graft_dot(q_emb, centroid)"))
+      .withColumn("cr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+    broadcast(probeCells)
+      .join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr("graft_dot(q_emb, emb)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
-    "q56_ann_lsh" -> (q56AnnLsh _))
+    "q56_ann_lsh" -> (q56AnnLsh _),
+    "q58_ann_ivf" -> (q58AnnIvf _))
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql)
-  // q56 is approximate by design — rows-only check + recall spec.
+  // q56/q58 are approximate by design — rows-only check + recall specs.
 }

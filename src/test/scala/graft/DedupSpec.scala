@@ -42,6 +42,16 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall $recall vs exact top-5")
   }
 
+  test("IVF ANN (KMeans coarse quantizer, nProbe=4/16) has decent recall vs brute force") {
+    val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = ops.Similarity.q58AnnIvf(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.4, s"IVF recall $recall vs exact top-5")
+  }
+
   test("approx_count_distinct is within 5% of exact at sf0.001") {
     val approx = ops.Aggregates.q16ApproxDistinct(spark, sfDir)
       .select("l_returnflag", "approx_orders").as[(String, Long)].collect().toMap
