@@ -31,6 +31,7 @@ object SparkEntry {
       ops.Dedup.queries ++
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
+      ops.Vectors2.queries ++
       ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       ops.Dedup.oracle ++
       ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++
+      ops.Vectors2.oracle ++
       ops.Multimodal.oracle
 }

@@ -187,7 +187,55 @@ object TextAnalysis {
          FROM scored)
        WHERE rank <= 3 ORDER BY doc_id, rank"""
 
+  /** Character 3-gram profile (the classic language/script fingerprint
+    * primitive): explode all char trigrams, global top-20 by frequency.
+    * substring+sequence+explode — no UDF, codegen'd end to end.
+    */
+  def q65CharNgrams(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+        .as("trigram"))
+      .groupBy(col("trigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram").asc)
+      .limit(20)
+
+  val q65Sql: String =
+    """SELECT trigram, COUNT(*) AS n
+       FROM (SELECT substring(text, i, 3) AS trigram
+             FROM documents, UNNEST(generate_series(1, greatest(LENGTH(text) - 2, 0))) AS t(i))
+       GROUP BY trigram ORDER BY n DESC, trigram ASC LIMIT 20"""
+
+  /** Structured JSON parse: from_json with an explicit schema into a
+    * struct column — the at-scale alternative to q33's per-field
+    * get_json_object (one parse per row instead of one per extracted
+    * field, and the struct prunes). Same relational result as q33's
+    * oracle shape, over the parsed struct.
+    */
+  def q67FromJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))))
+      .select(col("event_type"), col("p.k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val q67Sql: String =
+    """SELECT event_type,
+              COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+              MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_char_ngrams" -> (q65CharNgrams _),
+    "q67_from_json" -> (q67FromJson _),
     "q60_langid" -> (q60Langid _),
     "q61_quality" -> (q61Quality _),
     "q62_token_stats" -> (q62TokenStats _),
@@ -195,6 +243,8 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q65_char_ngrams" -> q65Sql,
+    "q67_from_json" -> q67Sql,
     "q60_langid" -> q60Sql,
     "q61_quality" -> q61Sql,
     "q62_token_stats" -> q62Sql,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Vector aggregation with exact cross-engine parity — the missing piece
+  * between per-row vector math (graft_dot) and the approximate ANN paths:
+  * per-label centroids and distance-to-own-centroid ranking.
+  *
+  * FP-determinism trick: centroid components are averaged in FIXED POINT.
+  * Each float component is scaled by 10⁷ and rounded to a BIGINT once
+  * (identical in both engines on identical doubles), summed exactly as
+  * integers (order-independent — this is what makes the aggregation
+  * deterministic where a double sum would depend on partition order), and
+  * divided back out once. Scale: posexplode to (label, dim) is a narrow
+  * explode feeding a partial-aggregated sum — the standard elementwise
+  * array aggregation at any corpus size.
+  */
+object Vectors2 {
+
+  def q59Centroids(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val comps = e.select(col("label"), col("vec_id"),
+      posexplode(expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"))
+        .as(Seq("dim", "fx")))
+    val centroid = comps
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+    val vecs = e.select(col("vec_id"), col("label").as("v_label"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    vecs
+      .join(broadcast(centroid), col("v_label") === col("label"))
+      .select(col("label"), col("vec_id"),
+        round(expr("graft_dot(emb, centroid)"), 6).as("cos_to_centroid"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+          .orderBy(col("cos_to_centroid").desc, col("vec_id").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("cos_to_centroid"))
+      .orderBy(col("label"), col("rank"))
+  }
+
+  /** Oracle: identical fixed-point pipeline; DuckDB's list comprehension
+    * over generate_series keeps the same ascending-dim fold for the dot.
+    */
+  val q59Sql: String =
+    """WITH comps AS (
+         SELECT label, vec_id, i - 1 AS dim,
+                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       sums AS (SELECT label, dim, SUM(fx) AS sfx, COUNT(*) AS n
+                FROM comps GROUP BY 1, 2),
+       cent AS (SELECT label, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                FROM sums GROUP BY label),
+       scored AS (
+         SELECT e.label, e.vec_id,
+                ROUND(list_reduce([CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                                   for i in generate_series(1, len(e.embedding))],
+                                  (acc, v) -> acc + v), 6) AS cos_to_centroid
+         FROM embeddings e JOIN cent c ON e.label = c.label)
+       SELECT label, rank, vec_id, cos_to_centroid FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY label
+                        ORDER BY cos_to_centroid DESC, vec_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 3 ORDER BY label, rank"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_centroids" -> (q59Centroids _))
+
+  val oracle: Map[String, String] = Map(
+    "q59_centroids" -> q59Sql)
+}
