@@ -84,9 +84,15 @@ object TweetPipeline {
 
   /** Run the streaming pipeline end-to-end: parse → windowed counts →
     * per-batch top-5 of the most recent closed window → atomic JSON doc.
-    * Complete output mode (windowed counts without append-finality needs
-    * it for the "current leaderboard" semantics the reference's dashboard
-    * polls).
+    *
+    * Output-mode scale note: complete mode re-emits the whole leaderboard
+    * state per trigger — correct for this dashboard (state is bounded by
+    * |windows in 15 min| × |distinct tags|, and the reference's contract
+    * is "current standings every 10 s"). For unbounded key cardinality
+    * the right shape is APPEND mode, where each window's counts emit
+    * exactly once when the watermark closes it (see the StreamingSpec
+    * closed-window test) and state is evicted — that variant is the same
+    * `windowedCounts` aggregation with `outputMode("append")`.
     */
   def run(spark: SparkSession, tweets: DataFrame, resultPath: String,
           triggerInterval: String = "10 seconds"): org.apache.spark.sql.streaming.StreamingQuery =

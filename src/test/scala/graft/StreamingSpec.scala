@@ -42,6 +42,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode emits each window exactly once, after the watermark closes it") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val counts = TweetPipeline.windowedCounts(
+      in.toDF().toDF("value", "ts"),
+      windowLen = "5 minutes", slide = "5 minutes", watermark = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("closed_windows")
+      .outputMode("append").start()
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "A"))
+      q.processAllAvailable()
+      // Window [00:00, 00:05) not closed yet -> nothing emitted.
+      assert(spark.table("closed_windows").count() == 0)
+      // Advance the watermark past 00:05 + 1 min.
+      in.addData(tweetAt("2024-01-01 00:10:00", "B"))
+      q.processAllAvailable()
+      val rows = spark.table("closed_windows")
+        .select(col("window.start").cast("string"), col("key"), col("count"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("2024-01-01 00:00:00", "a", 1L))) // exactly once, final
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
