@@ -117,7 +117,39 @@ object SetOps {
                      WHERE l_suppkey = s_suppkey AND l_quantity = 50)
        ORDER BY s_suppkey"""
 
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics (kept distinct from
+    * q41/q42's set semantics; Spark plans these with a row-number-over-
+    * count rewrite, one shuffle each).
+    */
+  def q68IntersectAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  val q68Sql: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+         SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT ALL
+         SELECT s_nationkey AS nationkey FROM supplier)
+       GROUP BY nationkey ORDER BY nationkey"""
+
+  def q69ExceptAll(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").cast("int").as("nationkey"))
+      .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").cast("int").as("nationkey")))
+      .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+
+  val q69Sql: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+         SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT ALL
+         SELECT s_nationkey AS nationkey FROM supplier)
+       GROUP BY nationkey ORDER BY nationkey"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_intersect_all" -> (q68IntersectAll _),
+    "q69_except_all" -> (q69ExceptAll _),
     "q40_union" -> (q40Union _),
     "q41_intersect" -> (q41Intersect _),
     "q42_except" -> (q42Except _),
@@ -126,6 +158,8 @@ object SetOps {
     "q45_correlated_exists" -> (q45CorrelatedExists _))
 
   val oracle: Map[String, String] = Map(
+    "q68_intersect_all" -> q68Sql,
+    "q69_except_all" -> q69Sql,
     "q40_union" -> q40Sql,
     "q41_intersect" -> q41Sql,
     "q42_except" -> q42Sql,
