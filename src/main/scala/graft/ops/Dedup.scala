@@ -27,12 +27,18 @@ import graft.sources.Tables.t
 object Dedup {
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime hash modulus
 
-  /** Word 3-gram shingle set, one row per distinct (doc, shingle). */
+  /** Word 3-gram shingle set, one row per distinct (doc, shingle).
+    * Documents under 3 tokens yield no shingles — guarded with IF, because
+    * Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
+    * DuckDB's generate_series) and slice(toks, 0, _) throws.
+    */
   private def shingles(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(
-        expr("transform(sequence(1, greatest(size(toks) - 2, 0)), i -> concat_ws(' ', slice(toks, i, 3)))"))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(toks) >= 3,
+              transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))),
+              array())"""))
         .as("shingle"))
       .distinct()
 

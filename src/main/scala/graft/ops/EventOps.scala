@@ -31,8 +31,10 @@ object EventOps {
       struct(leftCols.map(col): _*).as("_row"))
     val r = right.select(col(key).as("_k"), col(ts).as("_ts"), lit(1).as("_side"),
       col(carry).as("_carry"), lit(null).cast(l.schema("_row").dataType).as("_row"))
+    // _carry as the final sort key: ties of (key, ts) among right rows
+    // would otherwise resolve by partition order (nondeterministic).
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_ts").asc, col("_side").asc)
+      .orderBy(col("_ts").asc, col("_side").asc, col("_carry").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     l.union(r)
       .withColumn("_asof", last(col("_carry"), ignoreNulls = true).over(w))
@@ -70,8 +72,12 @@ object EventOps {
     t(s, dir, "events")
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_sess",
+        // Exact microsecond gap on both engines (CAST ts AS LONG truncates
+        // subseconds in Spark while DuckDB epoch() is fractional — a
+        // boundary-straddling gap would split differently).
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
       .withColumn("sess_seq", sum(col("new_sess")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
           .rowsBetween(Window.unboundedPreceding, 0)))
@@ -88,7 +94,7 @@ object EventOps {
     """WITH flagged AS (
          SELECT user_id, event_id, ts, value,
                 CASE WHEN LAG(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                      THEN 1 ELSE 0 END AS new_sess
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -159,7 +165,7 @@ object EventOps {
     """WITH flagged AS (
          SELECT user_id, ts,
                 CASE WHEN LAG(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                      THEN 1 ELSE 0 END AS new_sess
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)

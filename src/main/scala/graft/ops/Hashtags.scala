@@ -17,24 +17,34 @@ import graft.sources.Tables.t
 object Hashtags {
 
   def q37HashtagTopk(s: SparkSession, dir: String): DataFrame = {
+    // Tokens restricted to JSON-safe word characters in BOTH engines —
+    // raw concatenation would otherwise build invalid JSON for a token
+    // containing a quote/backslash, silently dropping that doc's tags in
+    // Spark while the oracle still counted them.
     val tweets = t(s, dir, "documents")
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(97)) === 0, lit("{not json!"))
           .otherwise(concat(lit("""{"entities":{"hashtags":["""),
             concat_ws(",", expr(
-              """transform(slice(split(text, ' '), 1, 5), t -> concat('{"text":"', t, '"}'))""")),
+              """transform(
+                   filter(slice(split(text, ' '), 1, 5), t -> t rlike '^[A-Za-z0-9_]+$'),
+                   t -> concat('{"text":"', t, '"}'))""")),
             lit("]}}"))).as("value"),
         lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
     graft.streaming.TweetPipeline.batchTop5(tweets, 10)
       .select(col("hashtag"), col("count"))
   }
 
+  /** Mirrors TweetPipeline.countTags exactly: case-insensitive key,
+    * min(tag) display casing, count-desc/tag-asc top-k.
+    */
   val q37Sql: String =
-    """SELECT tag AS hashtag, COUNT(*) AS count
+    """SELECT MIN(tag) AS hashtag, COUNT(*) AS count
        FROM (SELECT unnest(string_split(text, ' ')[1:5]) AS tag
              FROM documents WHERE doc_id % 97 <> 0)
        WHERE lower(tag) NOT IN ('europe', 'europa', 'eu', 'euro')
-       GROUP BY tag ORDER BY count DESC, hashtag ASC LIMIT 10"""
+         AND regexp_full_match(tag, '[A-Za-z0-9_]+')
+       GROUP BY lower(tag) ORDER BY count DESC, hashtag ASC LIMIT 10"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_hashtag_topk" -> (q37HashtagTopk _))

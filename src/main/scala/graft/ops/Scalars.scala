@@ -121,13 +121,16 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k_val"))
       .groupBy((col("k_val") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
-      .orderBy(col("k_bucket"))
+      .orderBy(col("k_bucket").asc_nulls_first)
 
+  /** NULLS FIRST pinned: Spark defaults ASC NULLS FIRST, DuckDB NULLS
+    * LAST — a props row without $.k would otherwise order differently.
+    */
   val q33Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
               COUNT(*) AS n,
               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
-       FROM events GROUP BY 1 ORDER BY k_bucket"""
+       FROM events GROUP BY 1 ORDER BY k_bucket NULLS FIRST"""
 
   /** Array functions over tokenized documents: build the token array once,
     * then slice/contain/dedup-sort — all higher-order/array built-ins.

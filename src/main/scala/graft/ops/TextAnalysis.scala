@@ -134,7 +134,12 @@ object TextAnalysis {
       .withColumn("tf", pmod(length(col("tok")).cast("long") * 2654435761L +
         ascii(substring(col("tok"), 1, 1)).cast("long") * 97L, lit(2147483647L)))
       .groupBy(col("doc_id"))
-      .agg(pmod(sum(col("tf") * expr("CAST(pow(5, pos % 8) AS BIGINT)")), lit(2147483647L)).as("fingerprint"),
+      // pmod applied per term BEFORE the sum: keeps every addend < 2^31 so
+      // the BIGINT sum stays exact to ~4e9 tokens/doc (Spark sums in
+      // 64-bit; DuckDB promotes to HUGEINT — without the reduction the
+      // engines would diverge past ~55k tokens).
+      .agg(pmod(sum(pmod(col("tf") * expr("CAST(pow(5, pos % 8) AS BIGINT)"), lit(2147483647L))),
+        lit(2147483647L)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
       .orderBy(col("doc_id"))
 
@@ -144,8 +149,8 @@ object TextAnalysis {
                 unnest(string_split(text, ' ')) AS tok
          FROM documents)
        SELECT doc_id,
-              (SUM(((LENGTH(tok) * 2654435761 + ascii(substring(tok, 1, 1)) * 97) % 2147483647)
-                   * CAST(pow(5, pos % 8) AS BIGINT))) % 2147483647 AS fingerprint,
+              (SUM((((LENGTH(tok) * 2654435761 + ascii(substring(tok, 1, 1)) * 97) % 2147483647)
+                   * CAST(pow(5, pos % 8) AS BIGINT)) % 2147483647)) % 2147483647 AS fingerprint,
               COUNT(*) AS n_tokens
        FROM toks GROUP BY doc_id ORDER BY doc_id"""
 
@@ -194,7 +199,11 @@ object TextAnalysis {
   def q65CharNgrams(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(explode(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 0)), i -> substring(text, i, 3))"))
+        // IF-guard: Spark sequence(1,0) = [1,0] (descending, not empty)
+        // and substring(text, 0, 3) silently re-reads from position 1.
+        """IF(length(text) >= 3,
+              transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)),
+              array())"""))
         .as("trigram"))
       .groupBy(col("trigram"))
       .agg(count(lit(1)).as("n"))

@@ -58,7 +58,13 @@ object StatefulOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+              // Clamp to just past the watermark: flatMapGroupsWithState
+              // does NOT drop late rows, and setTimeoutTimestamp throws if
+              // the target is <= the current event-time watermark (a very
+              // late event's session-end could be).
+              val target = s.lastTs + gapSeconds * 1000
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(target, floor))
             }
             closed.result().iterator
           }
