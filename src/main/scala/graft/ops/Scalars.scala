@@ -195,7 +195,30 @@ object Scalars {
               c_nationkey IN (1, 2, 3) AS in_nations
        FROM customer ORDER BY c_custkey"""
 
+  /** inline() generator as an unpivot: one row per (event kind, date) from
+    * an inline-built array<struct> — the generator dual of explode for
+    * struct rows (SURVEY.md §2.2 UDTF row).
+    */
+  def q66InlineUnpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 1000)
+      .select(col("o_orderkey"), expr(
+        """inline(array(
+             struct('ordered' AS kind, CAST(o_orderdate AS DATE) AS d),
+             struct('due30' AS kind, CAST(o_orderdate AS DATE) + 30 AS d)))"""))
+      .orderBy(col("o_orderkey"), col("kind"))
+
+  val q66Sql: String =
+    """SELECT o_orderkey, kind, d FROM (
+         SELECT o_orderkey, 'ordered' AS kind, CAST(o_orderdate AS DATE) AS d
+         FROM orders WHERE o_orderkey <= 1000
+         UNION ALL
+         SELECT o_orderkey, 'due30' AS kind, CAST(o_orderdate AS DATE) + 30 AS d
+         FROM orders WHERE o_orderkey <= 1000)
+       ORDER BY o_orderkey, kind"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_inline_unpivot" -> (q66InlineUnpivot _),
     "q30_string_funcs" -> (q30StringFuncs _),
     "q31_date_funcs" -> (q31DateFuncs _),
     "q32_math_funcs" -> (q32MathFuncs _),
@@ -205,6 +228,7 @@ object Scalars {
     "q36_conditionals" -> (q36Conditionals _))
 
   val oracle: Map[String, String] = Map(
+    "q66_inline_unpivot" -> q66Sql,
     "q30_string_funcs" -> q30Sql,
     "q31_date_funcs" -> q31Sql,
     "q32_math_funcs" -> q32Sql,

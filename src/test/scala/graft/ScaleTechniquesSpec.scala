@@ -63,6 +63,23 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming facts enrich against a static dimension") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = MemoryStream[(Long, Timestamp)]
+    val dim = graft.sources.Tables.t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("nation_id"), col("n_name"))
+    val enriched = events.toDF().toDF("nation_id", "ts").join(dim, Seq("nation_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, ts("2024-01-01 00:00:00")), (3L, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val names = spark.table("enriched").select("n_name").as[String].collect()
+      assert(names.length == 2 && names.forall(_.nonEmpty))
+    } finally q.stop()
+  }
+
   test("graft_dot is callable from pure SQL after registration; extension injection works") {
     // The injection function GraftExtensions wires up (we own this logic):
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
