@@ -13,17 +13,22 @@ object Bench {
     // Untimed warmup: JIT/codegen/session init otherwise lands entirely on
     // whichever query the Map iterates first (observed ~4s skew).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Two timed executions per query, report the min: steady-state cost,
+    // robust to shared-machine noise (observed ±20% single-run variance).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // Surface loudly: a bench-only failure (sf0.1) would otherwise
-          // hide behind a normal-looking timing.
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // Surface loudly: a bench-only failure (sf0.1) would otherwise
+            // hide behind a normal-looking timing.
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache() // per-query caches must not leak across timings
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // per-query caches must not leak across timings
-      name -> dt
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
