@@ -242,7 +242,41 @@ object TextAnalysis {
               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Token-rarity scoring — the exact-arithmetic stand-in for perplexity
+    * filtering (CCNet-style): score each document by the corpus frequency
+    * of its tokens. avg_tok_freq = Σ corpus-count(token) / n, computed as
+    * an exact BIGINT sum with ONE final division (order-independent, no
+    * libm) — deliberately avoids the ln() a real LM score would use, whose
+    * per-token rounding would be engine-divergent under summation. Low
+    * scores flag rare-token/OOV-heavy documents; rare_tokens counts tokens
+    * seen ≤ 5 times corpus-wide. The frequency table is term-cardinality-
+    * sized → broadcast.
+    */
+  def q72RarityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    toks.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        (sum(col("cnt")).cast("double") / count(lit(1))).as("avg_tok_freq"),
+        min(col("cnt")).as("rarest"),
+        sum(when(col("cnt") <= 5, 1L).otherwise(0L)).as("rare_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok)
+       SELECT doc_id, COUNT(*) AS n_toks,
+              CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_tok_freq,
+              MIN(cnt) AS rarest,
+              CAST(SUM(CASE WHEN cnt <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS rare_tokens
+       FROM toks JOIN freq USING (tok)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_rarity_score" -> (q72RarityScore _),
     "q65_char_ngrams" -> (q65CharNgrams _),
     "q67_from_json" -> (q67FromJson _),
     "q60_langid" -> (q60Langid _),
@@ -252,6 +286,7 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q72_rarity_score" -> q72Sql,
     "q65_char_ngrams" -> q65Sql,
     "q67_from_json" -> q67Sql,
     "q60_langid" -> q60Sql,
