@@ -80,6 +80,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scalar udf() surface works and agrees with the built-in formulation") {
+    // Engine policy is functions-over-UDFs in hot paths (codegen); this
+    // pins the udf() capability itself on a cold path.
+    val caseKey = udf((s: String) => s.toLowerCase)
+    spark.udf.register("case_key", caseKey)
+    val df = Seq("Brexit", "BREXIT", "other").toDF("tag")
+    val viaUdf = df.select(caseKey(col("tag")).as("k")).as[String].collect().toSeq
+    val viaFn = df.select(lower(col("tag")).as("k")).as[String].collect().toSeq
+    assert(viaUdf == viaFn)
+    assert(spark.sql("SELECT case_key('ABC')").as[String].head() == "abc")
+  }
+
   test("simhash of identical token multisets is identical regardless of order") {
     // Permuting tokens must not change the signature (bag-of-words hash).
     val base = "spark scala data fast slow table join"
