@@ -123,7 +123,7 @@ object Multimodal {
          FROM documents, UNNEST(generate_series(1, LENGTH(text))) AS t(i)),
        sampled AS (SELECT doc_id, frame_no, SUM(b) AS frame_sum
                    FROM frames WHERE frame_no % 3 = 0 GROUP BY 1, 2)
-       SELECT doc_id, COUNT(*) AS n_frames, SUM(frame_sum) AS payload_sum
+       SELECT doc_id, COUNT(*) AS n_frames, CAST(SUM(frame_sum) AS BIGINT) AS payload_sum
        FROM sampled GROUP BY doc_id ORDER BY doc_id"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -104,7 +104,7 @@ object Scalars {
               ROUND(SQRT(l_quantity), 6) AS qty_sqrt,
               ROUND(LN(l_extendedprice), 6) AS price_ln,
               l_orderkey % 7 AS key_mod7,
-              SIGN(l_discount - 0.05) AS disc_sign
+              CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
        FROM lineitem WHERE l_orderkey < 500
        ORDER BY l_orderkey, l_linenumber"""
 
@@ -129,7 +129,7 @@ object Scalars {
   val q33Sql: String =
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
               COUNT(*) AS n,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
        FROM events GROUP BY 1 ORDER BY k_bucket NULLS FIRST"""
 
   /** Array functions over tokenized documents: build the token array once,

@@ -149,8 +149,8 @@ object TextAnalysis {
                 unnest(string_split(text, ' ')) AS tok
          FROM documents)
        SELECT doc_id,
-              (SUM((((LENGTH(tok) * 2654435761 + ascii(substring(tok, 1, 1)) * 97) % 2147483647)
-                   * CAST(pow(5, pos % 8) AS BIGINT)) % 2147483647)) % 2147483647 AS fingerprint,
+              CAST((SUM((((LENGTH(tok) * 2654435761 + ascii(substring(tok, 1, 1)) * 97) % 2147483647)
+                   * CAST(pow(5, pos % 8) AS BIGINT)) % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint,
               COUNT(*) AS n_tokens
        FROM toks GROUP BY doc_id ORDER BY doc_id"""
 
@@ -237,7 +237,7 @@ object TextAnalysis {
   val q67Sql: String =
     """SELECT event_type,
               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-              SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
        FROM events GROUP BY event_type ORDER BY event_type"""

@@ -16,6 +16,43 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_tag(s: pd.Series) -> str:
+    """Type-class fingerprint for the dtype-strict gate, calibrated to the
+    driver's hash gate as observed in round 1: the driver tolerates integer
+    width (int32 vs int64), timestamp unit (ns vs us), and date-vs-datetime
+    differences, but FAILS on numeric-kind divergence — DuckDB
+    SUM(BIGINT)->HUGEINT (surfaces as float64/Decimal vs Spark's int64) and
+    SIGN->TINYINT (int8 vs Spark signum's float64) both hash-mismatched
+    while the old loose value-compare passed. So: classify by numeric kind,
+    not exact dtype."""
+    k = s.dtype.kind
+    if k in 'iu':
+        return "int"
+    if k == 'f':
+        return "float"
+    if k == 'b':
+        return "bool"
+    if k == 'M':
+        return "datetime"
+    if k == 'O':
+        nn = s.dropna()
+        if not len(nn):
+            return "empty"
+        t = type(nn.iloc[0]).__name__
+        if t in ("ndarray", "list", "tuple"):
+            return "array"
+        if t in ("date", "datetime", "Timestamp"):
+            return "datetime"
+        if t == "Decimal":
+            return "decimal"
+        if t == "bool":
+            return "bool"
+        if t == "int":
+            return "bigint"  # python int beyond int64 (HUGEINT path)
+        return t
+    return str(s.dtype)
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
@@ -60,6 +97,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = []
         for c in got.columns:
             a, b = got[c], exp[c]
+            ta, tb = dtype_tag(a), dtype_tag(b)
+            if ta != tb:
+                bad.append(f"{c}: dtype {ta} != {tb}")
+                continue
             try:
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     eq = ((a.isna() & b.isna()) | (a.to_numpy() == b.to_numpy()))
