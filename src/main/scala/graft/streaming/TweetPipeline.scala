@@ -82,8 +82,32 @@ object TweetPipeline {
       .groupBy(window(col("ts"), windowLen, slide), lower(col("tag")).as("key"))
       .agg(min(col("tag")).as("hashtag"), count(lit(1)).as("count"))
 
+  /** Duration-literal parser for the two pipeline knobs ("15 minutes",
+    * "10 seconds", "1 hour"). Local, tiny, and fail-fast — the streaming
+    * window syntax Spark itself accepts.
+    */
+  private[streaming] def durationMs(s: String): Long = {
+    val Array(n, unit) = s.trim.split("\\s+")
+    val base = unit.stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case other => throw new IllegalArgumentException(s"unsupported unit $other in '$s'")
+    }
+    n.toLong * base
+  }
+
   /** Run the streaming pipeline end-to-end: parse → windowed counts →
-    * per-batch top-5 of the most recent closed window → atomic JSON doc.
+    * per-batch top-5 of the TRAILING full-length window → atomic JSON doc.
+    *
+    * "Trailing" matches the reference's dashboard semantics
+    * (reduceByKeyAndWindow over the last 15 minutes,
+    * SparkApplication.scala:88): the published window is the one covering
+    * the 15 minutes up to the newest slide boundary — NOT max(window.start),
+    * which is a window that has only just opened and so contains only the
+    * newest ~10 s of events. With sliding windows the trailing window's
+    * start is max(start) + slide - windowLen.
     *
     * Output-mode scale note: complete mode re-emits the whole leaderboard
     * state per trigger — correct for this dashboard (state is bounded by
@@ -95,16 +119,24 @@ object TweetPipeline {
     * `windowedCounts` aggregation with `outputMode("append")`.
     */
   def run(spark: SparkSession, tweets: DataFrame, resultPath: String,
-          triggerInterval: String = "10 seconds"): org.apache.spark.sql.streaming.StreamingQuery =
-    windowedCounts(tweets)
+          triggerInterval: String = "10 seconds",
+          checkpointDir: Option[String] = None,
+          windowLen: String = "15 minutes",
+          slide: String = "10 seconds"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val trailingOffsetMs = durationMs(slide) - durationMs(windowLen)
+    val writer = windowedCounts(tweets, windowLen, slide)
       .writeStream
       .outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val latest = batch.select(max(col("window.start"))).first()
         if (!latest.isNullAt(0)) {
+          val trailingStart = new java.sql.Timestamp(
+            latest.getTimestamp(0).getTime + trailingOffsetMs)
           val top = topK(
-            batch.filter(col("window.start") === latest.getTimestamp(0))
+            batch.filter(col("window.start") === trailingStart)
               .select(col("hashtag"), col("count")), 5)
             .collect()
           AnalyticSink.write(resultPath,
@@ -112,6 +144,7 @@ object TweetPipeline {
         }
       }
       .start()
+  }
 }
 
 /** Atomic writer for the reference's result-document contract
