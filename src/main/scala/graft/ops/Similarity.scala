@@ -75,24 +75,16 @@ object Similarity {
     */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val dim = 64; val bits = 4; val tables = 16
-    val rnd = new scala.util.Random(7)
-    // Deterministic hyperplanes: tables × bits × dim, inline literal.
-    val planes = Array.fill(tables * bits, dim)(rnd.nextGaussian())
-    val planesSql = planes.map(_.mkString("array(", ",", ")")).mkString("array(", ",", ")")
-    // bucket(tbl) = sign bits of hyperplanes [tbl*bits, (tbl+1)*bits).
-    val bucketsOf = (emb: String) =>
-      s"""transform(sequence(0, ${tables - 1}), tbl ->
-            aggregate(sequence(0, ${bits - 1}), 0,
-              (acc, b) -> acc * 2 + CAST(
-                aggregate(zip_with($emb, element_at($planesSql, tbl * $bits + b + 1),
-                  (x, p) -> CAST(x AS DOUBLE) * p), CAST(0 AS DOUBLE), (a2, v) -> a2 + v) > 0
-                AS INT)))"""
+    // Signatures via the shared deterministic plane set
+    // (graft.functions.Hyperplanes): 64 codegen'd graft_dot loops per row
+    // against literal planes — round 1's 64 interpreted
+    // aggregate(zip_with(...)) folds were q56's whole cost (VERDICT r1).
+    // Same seed/packing, so buckets — and results — are unchanged.
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val tabbed = t(s, dir, "embeddings")
-      .select(col("vec_id"),
-        posexplode(expr(bucketsOf("embedding"))).as(Seq("tbl", "bucket")))
+    val tabbed = emb
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
     val probes = tabbed.filter(col("vec_id") < 20)
     // Candidate id pairs first (a pair may collide in several tables —
     // distinct on the ids, NOT on rows carrying the vectors), then join

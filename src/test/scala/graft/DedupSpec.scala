@@ -30,6 +30,34 @@ class DedupSpec extends SparkSpec {
       s"simhash found ${(jacc & sim).size} of ${jacc.size} planted near-dups")
   }
 
+  /** The retired round-1 q54: exact all-pairs cosine — a corpus×corpus
+    * cartesian, demoted to this recall baseline (VERDICT r1 item 5). Only
+    * tests may pay this plan.
+    */
+  private def exactNeardupAllPairs = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.t(spark, sfDir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        expr("graft_dot(a.emb, b.emb)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+  }
+
+  test("embedding near-dup (LSH-bucketed q54): subset of exact, recall pinned") {
+    val exact = exactNeardupAllPairs
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = ops.Dedup.q54EmbeddingNeardup(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // verify step is exact -> no false positives
+    assert(exact.nonEmpty)
+    // This corpus is deliberately threshold-grazing (true pairs at cos
+    // ~0.4502): expected collision prob per pair 1-(1-0.649^4)^16 ~ 0.96
+    // under the deterministic seed-7 planes. Pin a safe floor.
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall > 0.7, s"q54 LSH recall $recall vs exact all-pairs")
+  }
+
   test("ANN LSH results are a subset of brute-force rankings' pairs with decent recall") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -75,6 +75,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q02_filter_project").contains("*(1)"))
   }
 
+  test("q54 near-dup plans NO corpus×corpus nested-loop (VERDICT r1 item 5)") {
+    val p = plan("q54_embedding_neardup")
+    // The round-1 form was an all-pairs cartesian; the LSH-bucketed rewrite
+    // must join candidates on (table, bucket) equi-keys only.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("graft_dot"), p) // codegen'd signature + verify path
+  }
+
   test("q55 ANN scoring joins with a broadcast of the query side") {
     val p = plan("q55_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
