@@ -20,9 +20,10 @@ import graft.sources.Tables.t
   * candidate pairs only for documents sharing a shingle (q51) or an LSH
   * band bucket (q52) — the standard inverted-index / banding formulations
   * that run at 100 TB as a few shuffles. Verification joins are
-  * candidate-proportional. The only caveat at scale is hot shingles
-  * (stop-phrases): cap them with a document-frequency filter upstream
-  * (kept here because the oracle must see identical semantics).
+  * candidate-proportional. Hot shingles (stop-phrases) are the one skew
+  * hazard: the config-gated `maxShingleDf` cap on [[shingles]] removes
+  * them via a broadcast anti-join (default off so the oracle sees
+  * identical semantics; see the df-cap spec in DedupSpec).
   */
 object Dedup {
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime hash modulus
@@ -31,9 +32,21 @@ object Dedup {
     * Documents under 3 tokens yield no shingles — guarded with IF, because
     * Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
     * DuckDB's generate_series) and slice(toks, 0, _) throws.
+    *
+    * `maxDf`: the config-gated hot-shingle cap (VERDICT r1 item 6).
+    * Real corpora have stop-phrases whose shingles appear in a large
+    * fraction of documents; in the inverted-index self-join each such
+    * shingle contributes df·(df−1)/2 candidate pairs to ONE reducer — the
+    * unbounded skew that kills q51 at 100 TB. With the cap, shingles with
+    * document frequency > maxDf are removed from the shingle universe
+    * (index, set sizes, common counts alike — they carry no dedup signal,
+    * so this is the standard stop-shingle semantics). The hot set is tiny
+    * by construction, so the filter is a broadcast anti-join: the big
+    * (doc, shingle) stream never shuffles on the skewed key. Default off
+    * — the DuckDB oracle sees identical semantics.
     */
-  private def shingles(docs: DataFrame): DataFrame =
-    docs
+  private[graft] def shingles(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
+    val base = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """IF(size(toks) >= 3,
@@ -41,6 +54,13 @@ object Dedup {
               array())"""))
         .as("shingle"))
       .distinct()
+    maxDf.fold(base) { cap =>
+      val hot = base.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select(col("shingle"))
+      base.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
 
   /** Exact dedup: group by content hash (md5 — stable across engines),
     * keep the lowest doc_id deterministically. `dropDuplicates` keeps an
@@ -62,8 +82,15 @@ object Dedup {
     * count common, Jaccard = |∩| / (|A|+|B|−|∩|) in exact integer terms →
     * one final double division, bit-identical across engines.
     */
-  def q51DedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(t(s, dir, "documents")).cache()
+  def q51DedupJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardNearDups(t(s, dir, "documents"))
+
+  /** Library form of q51: near-dup pairs over any (doc_id, text) frame,
+    * with the optional hot-shingle df-cap (see [[shingles]]).
+    */
+  def jaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
+                      maxShingleDf: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, maxShingleDf).cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -74,7 +101,7 @@ object Dedup {
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -109,12 +136,21 @@ object Dedup {
     * aggregation keeps state bounded (128 longs/doc) map-side, unlike a
     * collect_list. Bands join on the 4-slot value arrays directly.
     */
-  def q52MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def q52MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashNearDups(t(s, dir, "documents"))
+
+  /** Library form of q52, with the optional hot-shingle df-cap applied to
+    * the whole shingle universe (signatures, sizes, common counts — see
+    * [[shingles]]), so banding probabilities and the exact verify agree on
+    * the same capped Jaccard.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
+                      maxShingleDf: Option[Long] = None): DataFrame = {
     val numPerm = 128; val bandRows = 4; val numBands = numPerm / bandRows
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(numPerm)((rnd.nextLong().abs % (P - 1) + 1, rnd.nextLong().abs % P))
 
-    val sh = shingles(t(s, dir, "documents")).cache()
+    val sh = shingles(docs, maxShingleDf).cache()
     val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
     // One typed sketch aggregate computes the whole 128-slot signature
     // (bounded array buffer, map-side mergeable) — measured faster than
@@ -142,7 +178,7 @@ object Dedup {
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 
