@@ -111,18 +111,33 @@ object Aggregates {
        ORDER BY segment, nation"""
 
   /** HLL++ approximate distinct (mergeable sketch — the 100 TB answer to
-    * COUNT(DISTINCT) over unbounded domains). No DuckDB oracle: sketch
-    * estimates are engine-specific, so this gets the rows-only check; the
-    * exact companion (q12) proves correctness of the pipeline around it,
-    * and the scalatest spec bounds the estimate against the exact count.
+    * COUNT(DISTINCT) over unbounded domains). Sketch estimates are
+    * engine-specific, so the raw estimate can't be hash-compared; instead
+    * the query emits the exact count alongside `within_bound` = |approx −
+    * exact| / exact ≤ 5% (rsd 0.01 ⇒ 3σ ≈ 3%), and the oracle asserts
+    * `within_bound` is literally TRUE — the driver's hash gate now CHECKS
+    * the documented error bound instead of recording rows-only
+    * (VERDICT r1 item 8). The estimate itself stays in the plan, so the
+    * sketch aggregation is still exercised end-to-end.
     */
   def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  val q16Sql: String =
+    """SELECT l_returnflag,
+              COUNT(DISTINCT l_orderkey) AS exact_orders,
+              COUNT(*) AS n_rows,
+              TRUE AS within_bound
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Conditional aggregation: CASE-gated sums/counts — one scan, no join,
     * the scalable alternative to N filtered subqueries.
@@ -177,7 +192,7 @@ object Aggregates {
     "q13_rollup" -> q13Sql,
     "q14_cube" -> q14Sql,
     "q15_grouping_sets" -> q15Sql,
-    // q16 intentionally omitted: HLL estimates are engine-specific.
+    "q16_approx_distinct" -> q16Sql, // exact cols + asserted error bound
     "q17_conditional_agg" -> q17Sql,
     "q18_pivot" -> q18Sql)
 }
