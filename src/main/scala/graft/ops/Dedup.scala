@@ -183,31 +183,34 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, exact by pigeonhole:
-    * split the 64-bit signature into 4 × 16-bit chunks; any pair within
+    * split the 60-bit signature into 4 × 15-bit chunks; any pair within
     * hamming 3 must agree on ≥ 1 chunk, so a bucket join on (chunk index,
     * chunk value) has perfect recall — then the exact hamming (bit_count of
     * xor) filters. Signature: per token-hash bit, +weight if set else
     * −weight (weight = token multiplicity), bit = 1 iff the sum > 0.
     *
-    * No DuckDB oracle (xxhash64 is Spark-internal); the scalatest spec
-    * pins the invariants (identical text → identical simhash; planted
-    * near-dups land within the radius).
+    * Token hash = first 15 hex chars of md5 parsed as an integer: 60
+    * uniform bits that BOTH engines can compute (round 1 used Spark-internal
+    * xxhash64, which forced a rows-only check; md5 makes q53 fully
+    * hash-checkable against DuckDB — see q53Sql).
     */
+  private val SimhashBits = 60 // 15 md5 hex chars; fits a signed 64-bit long
   def q53Simhash(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .agg(count(lit(1)).as("w"))
-    val bitCols = (0 until 64).map { i =>
+    val bitCols = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")
     }
     val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        (0 until SimhashBits).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
       .cache()
     val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
-      expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)")).as(Seq("chunk", "cval")))
+      expr("transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767)")).as(Seq("chunk", "cval")))
     chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
@@ -217,6 +220,35 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB replica of q53: identical md5-derived 60-bit token hash (hex
+    * parsed by a strpos fold), identical ±weight bit sums, signature
+    * assembly, pigeonhole chunk join and exact hamming filter. Generated
+    * per bit index so both engines aggregate the same way.
+    */
+  val q53Sql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i").mkString(", ")
+    val sigBits = (0 until SimhashBits)
+      .map(i => s"CASE WHEN s$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH toks AS (
+         SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1
+                             FOR i IN generate_series(1, 15)]::BIGINT[],
+                            (a, v) -> a * 16 + v) AS h,
+                COUNT(*) AS w
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY 1, 2),
+       bitsums AS (SELECT doc_id, $bitSums FROM toks GROUP BY doc_id),
+       sigs AS (SELECT doc_id, CAST($sigBits AS BIGINT) AS simhash FROM bitsums),
+       chunks AS (SELECT doc_id, simhash, c, (simhash >> (c * 15)) & 32767 AS cval
+                  FROM sigs, UNNEST(generate_series(0, 3)) AS g(c)),
+       pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+                        CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+                 FROM chunks x JOIN chunks y
+                   ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)
+       SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2"""
   }
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.45) — the semantic-dedup
@@ -294,6 +326,6 @@ object Dedup {
     "q50_dedup_exact" -> q50Sql,
     "q51_dedup_jaccard" -> q51Sql,
     "q52_minhash_lsh" -> q51Sql, // LSH+verify reproduces the exact J>=0.6 set
-    // q53 intentionally omitted (Spark-internal hash); scalatest covers it.
+    "q53_simhash" -> q53Sql,
     "q54_embedding_neardup" -> q54Sql)
 }

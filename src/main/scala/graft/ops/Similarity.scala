@@ -71,7 +71,11 @@ object Similarity {
     * LSH's worst case — real embedding corpora cluster, pushing the true-
     * neighbor per-bit agreement toward 1 and the candidate fraction down;
     * (L, r) is the recall/cost dial. Recall vs q55 is pinned by the
-    * scalatest spec, not an oracle — ANN results are approximate by design.
+    * scalatest spec; ADDITIONALLY the result is hash-checked against a
+    * DuckDB oracle (q56Sql): approximate-vs-exact-kNN, but deterministic —
+    * both engines compute identical bucket ids from identical plane
+    * literals (see [[graft.functions.Hyperplanes]]), so the candidate set,
+    * scores, and id-tie-broken ranks agree bit-for-bit.
     */
   def q56AnnLsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -108,6 +112,34 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         round(col("cosine"), 6).as("cos_r"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replica of q56: identical signature list per vector (plane
+    * literals shared via [[graft.functions.Hyperplanes.duckBucketsSql]]),
+    * candidates = probe pairs colliding in ≥ 1 of the 16 tables, identical
+    * ascending-index double fold for the score, identical rank tie-break.
+    */
+  def q56Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 20
+           AND list_contains([q.sig[i] = n.sig[i] FOR i IN generate_series(1, $nt)], true)),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(a.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM cands c JOIN embeddings a ON c.query_id = a.vec_id
+                      JOIN embeddings b ON c.neighbor_id = b.vec_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path the prompt
@@ -163,6 +195,8 @@ object Similarity {
     "q58_ann_ivf" -> (q58AnnIvf _))
 
   val oracle: Map[String, String] = Map(
-    "q55_ann_bruteforce" -> q55Sql)
-  // q56/q58 are approximate by design — rows-only check + recall specs.
+    "q55_ann_bruteforce" -> q55Sql,
+    "q56_ann_lsh" -> q56Sql)
+  // q58 stays rows-only + recall spec: its coarse quantizer is trained
+  // (KMeans), so no SQL engine can replicate the centroids.
 }

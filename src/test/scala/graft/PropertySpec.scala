@@ -100,7 +100,9 @@ class PropertySpec extends SparkSpec {
     df.createOrReplaceTempView("simhash_prop_docs")
     // Reuse the q53 signature computation shape inline.
     val sigs = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), xxhash64(col("tok")).as("h")).agg(count(lit(1)).as("w"))
+      .groupBy(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("w"))
       .groupBy(col("doc_id"))
       .agg((0 until 8).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")).head,
