@@ -59,6 +59,28 @@ object Hyperplanes {
     buckets.mkString("array(", ", ", ")")
   }
 
+  /** Spark SQL: the single bucket id (INT) of table `tbl` for `emb` — 4
+    * codegen'd dots instead of the full 64 of [[sparkBucketsExpr]]. Used by
+    * the IVF coarse quantizer's initial partition (q58), which only needs
+    * one sign-cell per vector.
+    */
+  def sparkCellExpr(emb: String, tbl: Int = 0): String =
+    (0 until bits).map { b =>
+      val p = planeArraySql(planes(tbl * bits + b), "array(", ")")
+      s"(CASE WHEN graft_dot($emb, $p) > 0D THEN ${1 << (bits - 1 - b)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB replica of [[sparkCellExpr]] — identical fold, identical plane
+    * literals, so cell ids agree bit-for-bit.
+    */
+  def duckCellSql(emb: String, tbl: Int = 0): String =
+    (0 until bits).map { b =>
+      val p = planeArraySql(planes(tbl * bits + b), "[", "]")
+      s"""(CASE WHEN list_reduce(
+           [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
+           (acc, v) -> acc + v) > 0 THEN ${1 << (bits - 1 - b)} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   /** DuckDB SQL: the identical bucket-id list for `emb`, a FLOAT[] column
     * reference. list_reduce's fold (first element as init, ascending) is
     * bit-identical to graft_dot's 0.0-init ascending fold because

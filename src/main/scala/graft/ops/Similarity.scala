@@ -143,38 +143,57 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the other standard scale path the prompt
-    * names: a coarse quantizer (KMeans, fixed seed, k=16) partitions the
-    * corpus into cells; each probe scores only the vectors in its
-    * `nProbe`=4 nearest cells (expected candidate fraction nProbe/k of
-    * the corpus). Training cost is one pass over a sample (here: all
-    * rows — at 100 TB train on a sample, the assignment stays a single
-    * broadcast-centroid map job). Approximate → rows-only check + recall
-    * spec vs q55, like q56.
+    * names: a coarse quantizer partitions the corpus into k=16 cells; each
+    * probe scores only the vectors in its `nProbe`=4 nearest cells
+    * (expected candidate fraction nProbe/k of the corpus).
+    *
+    * The quantizer is DETERMINISTIC so the result is fully oracle-checkable
+    * (round 2 used seeded KMeans — rows-only, and its 10 MLlib iterations
+    * were ~6 s of the bench): seed cells are the 4 sign bits of hyperplane
+    * table 0 ([[graft.functions.Hyperplanes]]), cell centroids are
+    * fixed-point integer means (the q59 trick — order-independent, so
+    * identical under any partitioning and in DuckDB), and every vector is
+    * then assigned to its nearest centroid — i.e. one exact Lloyd step from
+    * a deterministic initialization. Same IVF semantics (data-derived
+    * centroids, nearest-centroid cells, nProbe search), zero training loop.
+    *
+    * Scale shape: centroid build is one explode + partial-aggregated sum
+    * (map-side combined); assignment is a broadcast of k centroids against
+    * a streaming corpus scan (k·dim doubles — tiny); probes broadcast; the
+    * candidate join shuffles only the nProbe cells' ids. At 100 TB, build
+    * centroids from a sample and more Lloyd steps if cells drift — the
+    * assignment/search jobs are unchanged.
     */
   def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val k = 16; val nProbe = 4
+    val nProbe = 4
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = emb.withColumn("features", array_to_vector(col("emb"))).cache()
-    val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10).fit(feat)
-    val assigned = km.transform(feat).select(col("vec_id"), col("emb"), col("prediction").as("cell"))
-    // Broadcast the k centroids as literal arrays; rank cells per probe.
-    val cents = km.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    val centDf = s.createDataFrame(cents).toDF("cell", "centroid")
-    val probes = assigned.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"))
-    val probeCells = probes.crossJoin(broadcast(centDf))
-      .withColumn("d", expr("graft_dot(q_emb, centroid)"))
-      .withColumn("cr", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    // Seed partition: one 4-bit sign-cell per vector (4 codegen'd dots).
+    val seeded = emb.withColumn("cell0",
+      expr(graft.functions.Hyperplanes.sparkCellExpr("emb")))
+    // Fixed-point per-cell centroid (exact integer sums — deterministic).
+    val cents = seeded
+      .select(col("cell0"), posexplode(
+        expr("transform(emb, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
+      .groupBy(col("cell0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("cell0"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+      .select(col("cell0").as("cell"), col("centroid"))
+    // One Lloyd step: rank all k centroids per vector (k·N codegen'd dots,
+    // broadcast — no shuffle of the corpus); rn=1 is the cell assignment,
+    // rn<=nProbe on the probe subset is the cell list to search.
+    val ranked = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cell"),
+        expr("graft_dot(emb, centroid)").as("d"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("d").desc, col("cell").asc)))
-      .filter(col("cr") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("cell"))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("cell"))
     broadcast(probeCells)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -189,6 +208,46 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** DuckDB replica of q58: identical seed cells (shared plane literals),
+    * identical fixed-point centroids, identical centroid-dot ranking with
+    * the same tie-break, identical nProbe search and final top-5. A pair
+    * (query, neighbor) appears once — `assigned` has one cell per vector
+    * and a probe's nProbe cells are distinct — so no DISTINCT is needed.
+    */
+  def q58Sql: String = {
+    val cell0 = graft.functions.Hyperplanes.duckCellSql("embedding")
+    s"""WITH seeded AS (SELECT vec_id, embedding, $cell0 AS cell0 FROM embeddings),
+       comps AS (SELECT cell0, i - 1 AS dim,
+                        CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+                 FROM seeded, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       sums AS (SELECT cell0, dim, SUM(fx) AS sfx, COUNT(*) AS n FROM comps GROUP BY 1, 2),
+       cent AS (SELECT cell0 AS cell, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                FROM sums GROUP BY cell0),
+       ranked AS (
+         SELECT e.vec_id, c.cell,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_reduce([CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                               FOR i IN generate_series(1, len(e.embedding))],
+                              (acc, v) -> acc + v) DESC, c.cell ASC) AS rn
+         FROM embeddings e CROSS JOIN cent c),
+       assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       probecells AS (SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 20),
+       scored AS (
+         SELECT p.query_id, a.vec_id AS neighbor_id,
+                list_reduce([CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(qe.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM probecells p JOIN assigned a USING (cell)
+              JOIN embeddings qe ON p.query_id = qe.vec_id
+              JOIN embeddings ne ON a.vec_id = ne.vec_id
+         WHERE a.vec_id <> p.query_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
@@ -196,7 +255,6 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql,
-    "q56_ann_lsh" -> q56Sql)
-  // q58 stays rows-only + recall spec: its coarse quantizer is trained
-  // (KMeans), so no SQL engine can replicate the centroids.
+    "q56_ann_lsh" -> q56Sql,
+    "q58_ann_ivf" -> q58Sql)
 }

@@ -97,7 +97,7 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall $recall vs exact top-5")
   }
 
-  test("IVF ANN (KMeans coarse quantizer, nProbe=4/16) has decent recall vs brute force") {
+  test("IVF ANN (deterministic Lloyd-step coarse quantizer, nProbe=4/16) has decent recall vs brute force") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val ivf = ops.Similarity.q58AnnIvf(spark, sfDir)
