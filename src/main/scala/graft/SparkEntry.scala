@@ -32,7 +32,8 @@ object SparkEntry {
       ops.Similarity.queries ++
       ops.TextAnalysis.queries ++
       ops.Vectors2.queries ++
-      ops.Multimodal.queries
+      ops.Multimodal.queries ++
+      ops.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       ops.Similarity.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Vectors2.oracle ++
-      ops.Multimodal.oracle
+      ops.Multimodal.oracle ++
+      ops.Curation.oracle
 }

@@ -105,10 +105,11 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Shared oracle for q51 and q52 (q52's LSH+verify returns exactly the
-    * J ≥ 0.6 pairs; see recall note on q52).
+  /** The J ≥ 0.6 pair set as an unordered SELECT — reused as a derived
+    * table by Curation's connected-components oracle (q73), which needs the
+    * edge set without the presentation ORDER BY.
     */
-  val q51Sql: String =
+  private[ops] val q51Pairs: String =
     """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
               FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
@@ -117,8 +118,12 @@ object Dedup {
                   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS jaccard
        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
-       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
-       ORDER BY id1, id2"""
+       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6"""
+
+  /** Shared oracle for q51 and q52 (q52's LSH+verify returns exactly the
+    * J ≥ 0.6 pairs; see recall note on q52).
+    */
+  val q51Sql: String = q51Pairs + "\n       ORDER BY id1, id2"
 
   /** MinHash(128) + LSH banding (32 bands × 4 rows), then exact Jaccard
     * verification of the candidates. This is the 100 TB dedup path: the

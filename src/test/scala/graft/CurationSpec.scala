@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the curation operators beyond the DuckDB hash
+  * match: component closure for q73, stratum bounds + determinism for q74,
+  * shard-packing arithmetic for q75.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dup clusters are transitively closed over the near-dup edge set") {
+    val cluster = ops.Curation.q73DupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    val edges = ops.Dedup.q51DedupJaccard(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(edges.nonEmpty) // planted near-dups; empty would be vacuous
+    // Every edge's endpoints share a cluster, and the cluster id is a
+    // member's id at or below both endpoints (min-label fixpoint).
+    edges.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"edge ($a,$b) split across clusters")
+      assert(cluster(a) <= math.min(a, b))
+    }
+    // Exactly one keeper per cluster, and it's the minimum member.
+    val byCluster = cluster.groupBy(_._2).view.mapValues(_.keys.min)
+    byCluster.foreach { case (cid, minMember) => assert(cid == minMember) }
+  }
+
+  test("stratified sample is capped per stratum and reproducible") {
+    val s1 = ops.Curation.q74StratifiedSample(spark, sfDir)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val s2 = ops.Curation.q74StratifiedSample(spark, sfDir)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(s1.toSeq == s2.toSeq) // deterministic across runs
+    s1.groupBy(_._1).foreach { case (_, rows) => assert(rows.length <= 25) }
+    assert(s1.nonEmpty)
+  }
+
+  test("token shards match a locally recomputed prefix sum and respect the budget") {
+    val rows = ops.Curation.q75TokenShards(spark, sfDir)
+      .select("lang", "doc_id", "n_tokens", "shard_id")
+      .as[(String, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, _, n, shard) =>
+        assert(shard == cum / 512, s"shard mismatch at cum=$cum")
+        cum += n
+      }
+    }
+    // Shards are dense from 0 per language.
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      val shards = docs.map(_._4).distinct.sorted.toSeq
+      assert(shards.head == 0L && shards == (shards.head to shards.last).toSeq)
+    }
+  }
+}
