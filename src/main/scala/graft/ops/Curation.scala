@@ -181,13 +181,114 @@ object Curation {
        SELECT lang, doc_id, n_tokens, CAST(cum_before // 512 AS BIGINT) AS shard_id
        FROM c ORDER BY lang, doc_id"""
 
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 5-gram with the eval set (here: every 97th document stands in for the
+    * benchmark — deterministic, so the oracle sees the same split). The
+    * canonical pre-training hygiene step: per train doc, how many distinct
+    * 5-grams collide with eval text, across how many eval docs, and the
+    * boolean verdict.
+    *
+    * Scale shape: the eval side of the join is benchmark-sized (thousands
+    * of docs, not the corpus), so its shingle set BROADCASTS — the 100 TB
+    * train corpus streams through a map-side hash join and then one
+    * partial-aggregated count per doc. No corpus-sized shuffle anywhere;
+    * the final left join keeps clean docs with zeroed counts.
+    */
+  def q76Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh5 = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(toks) >= 5,
+              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
+              array())"""))
+        .as("shingle"))
+      .distinct()
+    val evalSh = sh5.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
+    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q76Sql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                    UNNEST(generate_series(1, greatest(len(toks)-4, 0))) AS t(i)),
+       hits AS (SELECT tr.doc_id,
+                       COUNT(DISTINCT tr.shingle) AS n_hit_shingles,
+                       COUNT(DISTINCT ev.doc_id) AS n_eval_docs
+                FROM sh tr JOIN sh ev ON tr.shingle = ev.shingle
+                WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0
+                GROUP BY tr.doc_id)
+       SELECT d.doc_id,
+              COALESCE(h.n_hit_shingles, 0) AS n_hit_shingles,
+              COALESCE(h.n_eval_docs, 0) AS n_eval_docs,
+              COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
+       FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"""
+
+  /** Repetition scoring (the Gopher-style quality signal): per document,
+    * the fraction of word 2-grams that are repeats of an earlier 2-gram
+    * (1 − distinct/total) and the highest single-2-gram share. Exact
+    * integer counts, two single-rounded divisions — per-row explode into a
+    * partial aggregate, embarrassingly parallel.
+    */
+  def q77Repetition(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """IF(size(toks) >= 2,
+              transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2))),
+              array())"""))
+        .as("gram"))
+    grams
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6).as("dup_fraction"),
+        round(col("top_count").cast("double") / col("n_grams"), 6).as("top_gram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77Sql: String =
+    """WITH grams AS (
+         SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+              UNNEST(generate_series(1, greatest(len(toks)-1, 0))) AS t(i)),
+       counts AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+       stats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                        CAST(MAX(c) AS BIGINT) AS top_count
+                 FROM counts GROUP BY doc_id)
+       SELECT doc_id, n_grams, n_distinct,
+              ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_fraction,
+              ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS top_gram_share
+       FROM stats ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_dup_clusters" -> (q73DupClusters _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
-    "q75_token_shards" -> (q75TokenShards _))
+    "q75_token_shards" -> (q75TokenShards _),
+    "q76_decontaminate" -> (q76Decontaminate _),
+    "q77_repetition" -> (q77Repetition _))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
     "q74_stratified_sample" -> q74Sql,
-    "q75_token_shards" -> q75Sql)
+    "q75_token_shards" -> q75Sql,
+    "q76_decontaminate" -> q76Sql,
+    "q77_repetition" -> q77Sql)
 }

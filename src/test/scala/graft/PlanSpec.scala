@@ -90,6 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), p)
   }
 
+  test("q74 stratified sample gets WindowGroupLimit (map-side k-row heaps)") {
+    val p = plan("q74_stratified_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q75 shard packing broadcasts the block-offset table") {
+    val p = plan("q75_token_shards")
+    // The tiny (lang, block) offset table must broadcast; the corpus side
+    // must not shuffle for the join.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q76 decontamination broadcasts the eval-set shingles") {
+    val p = plan("q76_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q58 IVF plans broadcast centroid ranking, no corpus-sized nested loop") {
+    val p = plan("q58_ann_ivf")
+    // The only nested-loop allowed is corpus × 16 broadcast centroids; the
+    // candidate search join must be an equi-join on cell.
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q47 sessionization reuses one exchange across its window passes") {
     val p = plan("q47_sessionize")
     // Both window functions and the final aggregate partition by user_id;
