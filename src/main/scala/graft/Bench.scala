@@ -13,10 +13,12 @@ object Bench {
     // Untimed warmup: JIT/codegen/session init otherwise lands entirely on
     // whichever query the Map iterates first (observed ~4s skew).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // Two timed executions per query, report the min: steady-state cost,
-    // robust to shared-machine noise (observed ±20% single-run variance).
+    // Three timed executions per query, report the min: steady-state cost,
+    // robust to shared-machine noise (runs on this box show ±20-40% ambient
+    // variance; round 2's driver bench recorded 2-4× outliers on queries
+    // that re-measured clean, so buy extra noise immunity here).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

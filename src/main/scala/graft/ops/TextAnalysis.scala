@@ -157,18 +157,23 @@ object TextAnalysis {
   /** tf-idf top-3 terms per document: explode → tf per (doc, term), df per
     * term, idf = ln((N+1)/(df+1)) on exact integer inputs, score rounded
     * once. The df side is term-cardinality-sized → broadcast; N is a
-    * scalar. Per-doc top-3 via row_number (WindowGroupLimit prunes early).
+    * single-row aggregate broadcast into the scoring join (round 1 computed
+    * it with a driver-side `docs.count()` action — same value, but an extra
+    * blocking job and a plan the optimizer can't see through; now the whole
+    * query is one lazy plan). Per-doc top-3 via row_number (WindowGroupLimit
+    * prunes early).
     */
   def q64Tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val n = docs.count() // dimension-scale action; at 100 TB use a precomputed stat
+    val n = docs.agg(count(lit(1)).as("n"))
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
-      .withColumn("score", round(col("tf") * log((lit(n) + 1).cast("double") / (col("df") + 1)), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log((col("n") + 1).cast("double") / (col("df") + 1)), 6))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term").asc)))

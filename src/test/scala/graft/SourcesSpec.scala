@@ -24,6 +24,16 @@ class SourcesSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves schema and values") {
+    val dir = tmp("orc") + "/supplier"
+    val src = graft.sources.Tables.t(spark, sfDir, "supplier")
+    src.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == src.schema)
+    assert(back.count() == src.count())
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
   test("json-lines round-trip preserves values; corrupt lines surface in PERMISSIVE mode") {
     val dir = tmp("json") + "/region"
     val src = graft.sources.Tables.t(spark, sfDir, "region")
