@@ -126,11 +126,82 @@ object Multimodal {
        SELECT doc_id, COUNT(*) AS n_frames, CAST(SUM(frame_sum) AS BIGINT) AS payload_sum
        FROM sampled GROUP BY doc_id ORDER BY doc_id"""
 
+  /** A resized media row: the resized payload stays a first-class binary
+    * column (real plumbing — a downstream stage could re-decode it), with
+    * integer checksum features for the oracle.
+    */
+  final case class ResizedMedia(doc_id: Long, out_w: Int, out_h: Int,
+                                resized: Array[Byte], resized_sum: Long,
+                                n_nonzero: Long)
+
+  /** Nearest-neighbor resize of the fake w×h "image" to outW×outH — the
+    * classic preprocessing kernel, stubbed over payload bytes as pixels
+    * (row-major; reads past the payload are zero — the fake metadata's
+    * w×h may exceed the byte count, as real truncated files do). The
+    * kernel runs inside the partition iterator on the binary column; only
+    * the fixed outW×outH bytes per row survive, which is exactly the
+    * dataflow of an image-resize stage feeding a training pipeline.
+    */
+  def resizeAll(media: Dataset[MediaRecord], outW: Int, outH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out = new Array[Byte](outW * outH)
+      var sum = 0L
+      var nz = 0L
+      var y = 0
+      while (y < outH) {
+        val sy = y * r.height / outH
+        var x = 0
+        while (x < outW) {
+          val sx = x * r.width / outW
+          val idx = sy * r.width + sx
+          val b = if (idx < r.payload.length) r.payload(idx) else 0.toByte
+          out(y * outW + x) = b
+          sum += (b & 0xff)
+          if (b != 0) nz += 1
+          x += 1
+        }
+        y += 1
+      }
+      ResizedMedia(r.doc_id, outW, outH, out, sum, nz)
+    })
+  }
+
+  /** Resize stage result, oracle-checked on the integer checksums (the
+    * resized payload itself is carried but not hashed — binary columns
+    * round-trip differently across engines).
+    */
+  def q78MediaResize(s: SparkSession, dir: String): DataFrame =
+    resizeAll(mediaTable(s, dir), 16, 12).toDF()
+      .select(col("doc_id"), col("out_w").cast("long").as("out_w"),
+        col("out_h").cast("long").as("out_h"), col("resized_sum"), col("n_nonzero"))
+      .orderBy(col("doc_id"))
+
+  /** DuckDB replica: same nearest-neighbor index arithmetic over the same
+    * synthesized w×h metadata, bytes via ascii() on the ASCII text.
+    */
+  val q78Sql: String =
+    """WITH px AS (
+         SELECT doc_id,
+                ((i // 16) * (doc_id % 48 + 24)) // 12 * (doc_id % 64 + 32)
+                  + ((i % 16) * (doc_id % 64 + 32)) // 16 AS src,
+                LENGTH(text) AS len, text
+         FROM documents, UNNEST(generate_series(0, 191)) AS t(i)),
+       b AS (SELECT doc_id,
+                    CASE WHEN src < len THEN ascii(text[CAST(src + 1 AS INT)]) ELSE 0 END AS byte
+             FROM px)
+       SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(12 AS BIGINT) AS out_h,
+              CAST(SUM(byte) AS BIGINT) AS resized_sum,
+              CAST(COUNT(*) FILTER (byte <> 0) AS BIGINT) AS n_nonzero
+       FROM b GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_media_features" -> (q70MediaFeatures _),
-    "q71_frame_sample" -> (q71FrameSample _))
+    "q71_frame_sample" -> (q71FrameSample _),
+    "q78_media_resize" -> (q78MediaResize _))
 
   val oracle: Map[String, String] = Map(
     "q70_media_features" -> q70Sql,
-    "q71_frame_sample" -> q71Sql)
+    "q71_frame_sample" -> q71Sql,
+    "q78_media_resize" -> q78Sql)
 }

@@ -122,6 +122,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.select("text_hash").distinct().count() == kept.count())
   }
 
+  test("stub resize emits exactly outW*outH bytes and matches a hand-computed kernel") {
+    val r = ops.Multimodal.MediaRecord(5L, "s", "image/fake", 4, 4,
+      Array.tabulate[Byte](16)(i => (i + 1).toByte))
+    val out = {
+      import spark.implicits._
+      ops.Multimodal.resizeAll(Seq(r).toDS(), 2, 2).collect().head
+    }
+    assert(out.resized.length == 4)
+    // NN kernel on a 4x4 grid to 2x2: picks (0,0),(0,2),(2,0),(2,2) -> 1,3,9,11
+    assert(out.resized.toSeq == Seq[Byte](1, 3, 9, 11))
+    assert(out.resized_sum == 24L && out.n_nonzero == 4L)
+  }
+
   test("multimodal stub codec is deterministic and histogram sums to payload length") {
     val r = ops.Multimodal.MediaRecord(1L, "s", "image/fake", 8, 8,
       "hello world".getBytes("UTF-8"))
