@@ -45,6 +45,14 @@ object Curation {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val pairs = Dedup.jaccardNearDups(t(s, dir, "documents"))
       .select(col("id1"), col("id2"))
+    connectedComponents(docs, pairs)
+  }
+
+  /** Library form of q73: cluster any vertex set by an (id1, id2) pair
+    * frame. Exposed for reuse with any pair miner (q51's Jaccard here,
+    * q52's MinHash or q54's embedding buckets identically).
+    */
+  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .cache()

@@ -26,6 +26,17 @@ class CurationSpec extends SparkSpec {
     byCluster.foreach { case (cid, minMember) => assert(cid == minMember) }
   }
 
+  test("connected components propagates min labels across a chain (multi-round) and keeps isolates singleton") {
+    val docs = (1L to 6L).toDF("doc_id")
+    // 1-2-3-4 chain forces label 1 to travel 3 hops (several propagation
+    // rounds); 5 and 6 are isolated.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id1", "id2")
+    val out = ops.Curation.connectedComponents(docs, pairs)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(out(_) == 1L), out.toString)
+    assert(out(5L) == 5L && out(6L) == 6L)
+  }
+
   test("stratified sample is capped per stratum and reproducible") {
     val s1 = ops.Curation.q74StratifiedSample(spark, sfDir)
       .select("source", "doc_id").as[(String, Long)].collect()
