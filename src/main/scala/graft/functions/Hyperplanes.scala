@@ -46,10 +46,22 @@ object Hyperplanes {
 
   /** Spark SQL: array of the `tables` bucket ids (INT) for `emb`, an
     * array<double> column reference. Bit b of table t is the sign of
-    * graft_dot(emb, plane[t*bits+b]), weighted MSB-first — the same packing
+    * dot(emb, plane[t*bits+b]), weighted MSB-first — the same packing
     * round 1 used, so q56 buckets are unchanged.
+    *
+    * Since round 3 this emits the one-pass codegen'd
+    * `graft_lsh_buckets` expression ([[graft.functions.LshBucketsExpr]]);
+    * [[sparkBucketsLiteralExpr]] keeps the 64-subtree literal form it
+    * replaced, and a DedupSpec test pins that both produce identical
+    * buckets.
     */
-  def sparkBucketsExpr(emb: String): String = {
+  def sparkBucketsExpr(emb: String): String = s"graft_lsh_buckets($emb)"
+
+  /** The pre-round-3 formulation: one `graft_dot` against a literal plane
+    * array per (table, bit). Retained as the independent reference
+    * implementation for the equivalence spec.
+    */
+  def sparkBucketsLiteralExpr(emb: String): String = {
     val buckets = (0 until tables).map { tbl =>
       (0 until bits).map { b =>
         val p = planeArraySql(planes(tbl * bits + b), "array(", ")")

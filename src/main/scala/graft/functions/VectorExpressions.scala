@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Custom Catalyst expressions for the vector hot paths (SURVEY.md §7.3:
   * custom expressions are a *measured* optimization — this one exists
@@ -19,10 +19,14 @@ object VectorExpressions {
   /** Idempotent session registration; exposes `graft_dot(a, b)` in SQL and
     * `expr("graft_dot(...)")`. Runs inside whole-stage codegen.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", (children: Seq[Expression]) => DotProductExpr(children(0), children(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_buckets", (children: Seq[Expression]) => LshBucketsExpr(children(0)),
+      "built-in")
+  }
 }
 
 /** Sequential dot product over two array<double> columns.
@@ -76,4 +80,102 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** All 16 hyperplane-LSH bucket ids of an array<double> embedding in ONE
+  * pass: one expression evaluating 64 plane dots against a referenced
+  * plane matrix, instead of the 64 separate `graft_dot(emb, array(<64
+  * literals>))` subtrees `Hyperplanes.sparkBucketsExpr` used to emit —
+  * which re-read the input array 64 times and code-generated ~4k array
+  * literals per query.
+  *
+  * Parity: each plane's dot is the same ascending-index 0.0-init double
+  * fold as `graft_dot`, and the planes are the same
+  * [[Hyperplanes.planes]] doubles the oracle's literals parse to — so
+  * bucket ids (and every downstream q54/q56 result) are bit-identical to
+  * the multi-expression form and to DuckDB.
+  */
+case class LshBucketsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lsh_buckets requires an array<double> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lsh_buckets"
+
+  @transient private lazy val flatPlanes: Array[Double] = LshBucketsExpr.flatPlanes
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val dim = math.min(emb.numElements(), Hyperplanes.dim)
+    val out = new Array[Int](Hyperplanes.tables)
+    var t = 0
+    while (t < Hyperplanes.tables) {
+      var bucket = 0
+      var b = 0
+      while (b < Hyperplanes.bits) {
+        val off = (t * Hyperplanes.bits + b) * Hyperplanes.dim
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += emb.getDouble(i) * flatPlanes(off + i); i += 1 }
+        if (s > 0.0) bucket += 1 << (Hyperplanes.bits - 1 - b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planes = ctx.addReferenceObj("lshPlanes", flatPlanes, "double[]")
+    val (tables, bits, dim) = (Hyperplanes.tables, Hyperplanes.bits, Hyperplanes.dim)
+    nullSafeCodeGen(ctx, ev, emb => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($emb.numElements(), $dim);
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $bucket = 0;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    int $off = ($t * $bits + $b) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $emb.getDouble($i) * $planes[$off + $i];
+         |    }
+         |    if ($s > 0.0) $bucket += 1 << ($bits - 1 - $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsExpr =
+    copy(child = newChild)
+}
+
+object LshBucketsExpr {
+  /** Row-major (plane, dim) flattening of [[Hyperplanes.planes]], shared
+    * by interpreted eval and the codegen reference object.
+    */
+  lazy val flatPlanes: Array[Double] = {
+    val out = new Array[Double](Hyperplanes.tables * Hyperplanes.bits * Hyperplanes.dim)
+    var j = 0
+    while (j < Hyperplanes.tables * Hyperplanes.bits) {
+      System.arraycopy(Hyperplanes.planes(j), 0, out, j * Hyperplanes.dim, Hyperplanes.dim)
+      j += 1
+    }
+    out
+  }
 }

@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpec {
     assert(kept.select("text_hash").distinct().count() == kept.count())
   }
 
+  test("graft_lsh_buckets equals the 64-literal graft_dot formulation on real embeddings") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+    val both = e.selectExpr(
+      "vec_id",
+      graft.functions.Hyperplanes.sparkBucketsExpr("emb") + " AS fast",
+      graft.functions.Hyperplanes.sparkBucketsLiteralExpr("emb") + " AS ref")
+    assert(both.where("fast <> ref").count() == 0)
+    // And the codegen path actually ran as one expression, not 64.
+    val p = both.queryExecution.executedPlan.toString
+    assert(p.contains("graft_lsh_buckets"), p)
+  }
+
   test("stub resize emits exactly outW*outH bytes and matches a hand-computed kernel") {
     val r = ops.Multimodal.MediaRecord(5L, "s", "image/fake", 4, 4,
       Array.tabulate[Byte](16)(i => (i + 1).toByte))

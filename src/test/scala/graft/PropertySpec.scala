@@ -26,6 +26,25 @@ class PropertySpec extends SparkSpec {
   private val tagGen = Gen.nonEmptyListOf(Gen.oneOf(
     "Brexit", "brexit", "BREXIT", "Spark", "scala", "EU", "europe", "Data", "ai", "ML"))
 
+  test("SparkEntry contract: no module overwrites another's query name; every oracle key resolves") {
+    val modules: Seq[(String, Map[String, _])] = Seq(
+      "Relational" -> ops.Relational.queries, "Aggregates" -> ops.Aggregates.queries,
+      "Aggregates2" -> ops.Aggregates2.queries, "Windows" -> ops.Windows.queries,
+      "Scalars" -> ops.Scalars.queries, "SetOps" -> ops.SetOps.queries,
+      "EventOps" -> ops.EventOps.queries, "Hashtags" -> ops.Hashtags.queries,
+      "Skew" -> ops.Skew.queries, "Dedup" -> ops.Dedup.queries,
+      "Similarity" -> ops.Similarity.queries, "TextAnalysis" -> ops.TextAnalysis.queries,
+      "Vectors2" -> ops.Vectors2.queries, "Multimodal" -> ops.Multimodal.queries,
+      "Curation" -> ops.Curation.queries)
+    val perModule = modules.map(_._2.size).sum
+    assert(SparkEntry.queries.size == perModule,
+      s"query-name collision: union has ${SparkEntry.queries.size} of $perModule names")
+    // Every oracle entry points at a real query (a typo'd key would give
+    // the driver an orphan SQL and the query a silent rows-only check).
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+  }
+
   test("top-k is a prefix of the fully sorted counts, for any tag multiset") {
     forAll(tagGen) { tags =>
       val tweets = tags.map(t => s"""{"entities":{"hashtags":[{"text":"$t"}]}}""")
