@@ -59,9 +59,13 @@ object Curation {
     // Iterate ONLY over vertices that appear in an edge: a document with no
     // near-dup edge can never change label, so the loop's working set is
     // dup-graph-sized (tiny fraction of the corpus at any scale), and the
-    // full corpus is touched exactly once by the final left join.
-    var labels = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // full corpus is touched exactly once by the final left join. The
+    // initial label fuses round one: min(self, direct neighbors) — for
+    // clique-shaped dup groups (the common case) that is already the
+    // fixpoint, so the loop usually runs a single confirming round.
+    var labels = edges.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .select(col("src").as("v"), col("lbl"))
     var changed = 1L
     var round = 0
     while (changed > 0 && round < 25) {
