@@ -320,17 +320,45 @@ object Dedup {
        SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.45 ORDER BY id1, id2"""
   }
 
+  /** The production posture of q51: hot-shingle df-cap ON (df > 50 shingles
+    * dropped from the whole universe before the self-join — see
+    * [[shingles]]). Exists as its own query so the scale-hardened path is
+    * ORACLE-verified, not just spec-balanced: the DuckDB oracle applies the
+    * identical cap, proving the capped semantics end to end. Cap = 50 docs:
+    * a shingle in >50 documents is stop-phrase boilerplate carrying no
+    * dedup signal, and in the inverted index it would contribute >1225
+    * candidate pairs to one reducer.
+    */
+  def q79DedupJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    jaccardNearDups(t(s, dir, "documents"), maxShingleDf = Some(50L))
+
+  val q79Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh0 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+               FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 50),
+       sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id1, id2, c * 1.0 / (s1.n + s2.n - c) AS jaccard
+       FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
+       ORDER BY id1, id2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> (q50DedupExact _),
     "q51_dedup_jaccard" -> (q51DedupJaccard _),
     "q52_minhash_lsh" -> (q52MinhashLsh _),
     "q53_simhash" -> (q53Simhash _),
-    "q54_embedding_neardup" -> (q54EmbeddingNeardup _))
+    "q54_embedding_neardup" -> (q54EmbeddingNeardup _),
+    "q79_dedup_jaccard_capped" -> (q79DedupJaccardCapped _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
     "q51_dedup_jaccard" -> q51Sql,
     "q52_minhash_lsh" -> q51Sql, // LSH+verify reproduces the exact J>=0.6 set
     "q53_simhash" -> q53Sql,
-    "q54_embedding_neardup" -> q54Sql)
+    "q54_embedding_neardup" -> q54Sql,
+    "q79_dedup_jaccard_capped" -> q79Sql)
 }

@@ -117,6 +117,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q79 capped Jaccard drops hot shingles via a broadcast anti-join") {
+    val df = SparkEntry.queries("q79_dedup_jaccard_capped")(spark, sfDir)
+    df.collect()
+    // The anti-join sits inside the cached shingle relation's nested plan,
+    // so inspect the FULL executed-plan tree (no Initial-Plan split). The
+    // skew protection must be a broadcast anti-join on the big
+    // (doc, shingle) stream — never a shuffle on the skewed shingle key.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti, BuildRight") || p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin.*LeftAnti"), p)
+  }
+
   test("q47 sessionization reuses one exchange across its window passes") {
     val p = plan("q47_sessionize")
     // Both window functions and the final aggregate partition by user_id;
