@@ -290,17 +290,60 @@ object Curation {
               ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS top_gram_share
        FROM stats ORDER BY doc_id"""
 
+  /** Deterministic train/val/test split assignment: bucket = first 8 hex
+    * chars of md5("split:" + doc_id) mod 100 → <80 train, <90 val, else
+    * test. Disjoint and exhaustive by construction, reproducible on any
+    * cluster (no RNG state), and independent of partitioning — the
+    * properties a data split must have for a training run to be
+    * reproducible. Emitted as per-(source, split) counts plus a share
+    * column, which doubles as the stratification report (hash splits are
+    * uniform within every stratum). Pure per-row map + one partial-agg
+    * shuffle.
+    */
+  def q80SplitAssign(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("bucket",
+        expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))), 6))
+      .orderBy(col("source"), col("split"))
+
+  val q80Sql: String =
+    """WITH buckets AS (
+         SELECT source,
+                list_reduce([strpos('0123456789abcdef',
+                              substring(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                             FOR i IN generate_series(1, 8)]::BIGINT[],
+                            (a, v) -> a * 16 + v) % 100 AS bucket
+         FROM documents),
+       assigned AS (
+         SELECT source,
+                CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM buckets),
+       counts AS (SELECT source, split, COUNT(*) AS n_docs FROM assigned GROUP BY 1, 2)
+       SELECT source, split, n_docs,
+              ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source), 6) AS share
+       FROM counts ORDER BY source, split"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_dup_clusters" -> (q73DupClusters _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_token_shards" -> (q75TokenShards _),
     "q76_decontaminate" -> (q76Decontaminate _),
-    "q77_repetition" -> (q77Repetition _))
+    "q77_repetition" -> (q77Repetition _),
+    "q80_split_assign" -> (q80SplitAssign _))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
     "q74_stratified_sample" -> q74Sql,
     "q75_token_shards" -> q75Sql,
     "q76_decontaminate" -> q76Sql,
-    "q77_repetition" -> q77Sql)
+    "q77_repetition" -> q77Sql,
+    "q80_split_assign" -> q80Sql)
 }

@@ -47,6 +47,18 @@ class CurationSpec extends SparkSpec {
     assert(s1.nonEmpty)
   }
 
+  test("split assignment is exhaustive per source and roughly 80/10/10 overall") {
+    val rows = ops.Curation.q80SplitAssign(spark, sfDir)
+      .select("source", "split", "n_docs").as[(String, String, Long)].collect()
+    val total = rows.map(_._3).sum
+    assert(total == graft.sources.Tables.t(spark, sfDir, "documents").count()) // exhaustive
+    val byWhich = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val trainShare = byWhich.getOrElse("train", 0L).toDouble / total
+    // Uniform hash: binomial(500, 0.8) stays well within ±10 points.
+    assert(trainShare > 0.7 && trainShare < 0.9, s"train share $trainShare")
+    assert(byWhich.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("token shards match a locally recomputed prefix sum and respect the budget") {
     val rows = ops.Curation.q75TokenShards(spark, sfDir)
       .select("lang", "doc_id", "n_tokens", "shard_id")
