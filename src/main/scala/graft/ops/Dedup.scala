@@ -320,6 +320,76 @@ object Dedup {
        SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.45 ORDER BY id1, id2"""
   }
 
+  /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
+    * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
+    * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
+    * shingles — for candidate generation. Any pair with J ≥ t must share
+    * at least ⌈t·|A|⌉ shingles, so its globally-smallest common shingle
+    * provably lies inside BOTH prefixes; pairs that only share frequent
+    * (suffix) shingles never become candidates. A size filter
+    * (t·|A| ≤ |B| ≤ |A|/t) prunes further before the exact verify, which
+    * recomputes Jaccard on the FULL shingle sets — so the result set is
+    * IDENTICAL to q51's (same oracle), only the candidate volume changes.
+    *
+    * Scale: this is the standard answer to the inverted-index join's
+    * quadratic tail. The index shrinks to ~40% of the corpus rows at
+    * t=0.6, and — decisively — the highest-df shingles sort LAST in the
+    * rare-first order, so they drop out of every prefix: candidate pairs
+    * stop being ∝ Σ df² over hot shingles. Costs one extra df join +
+    * per-doc rank window.
+    *
+    * Measured honestly (sf0.1, local[32]): candidates 1.13M → 193k
+    * (5.8×), index rows 260k → 107k, wall-clock ≈ q51 — this synthetic
+    * corpus has NO frequent-shingle mass (max df ≈ 7), so the overhead
+    * exactly offsets the cut. On Zipfian real text the cut grows
+    * unboundedly while the overhead stays fixed; q51 remains the
+    * low-constant baseline, this is the 100 TB path.
+    */
+  def q81DedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    jaccardNearDupsPrefix(t(s, dir, "documents"))
+
+  def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs)
+    // Per-doc sorted shingle-set arrays: one row per doc, reused by the
+    // prefix index AND the verify (docs are bounded, so the array is too).
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("n"))
+      .cache()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Rare-first global order (df asc, shingle asc for determinism);
+    // per-doc rank, keep the first n - ceil(t*n) + 1. Cached: both sides
+    // of the candidate self-join read it.
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
+      .join(sets.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
+      .cache()
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
+          col("b.n") * lit(threshold) <= col("a.n"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    // Exact verify, candidate-proportional: join both docs' set arrays and
+    // intersect in one codegen'd pass — identical semantics to q51 (the
+    // per-shingle verify join would rematerialize |candidates|·|A| rows).
+    cands
+      .join(sets.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("s1.set"), col("s2.set"))).cast("long").as("c"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** The production posture of q51: hot-shingle df-cap ON (df > 50 shingles
     * dropped from the whole universe before the self-join — see
     * [[shingles]]). Exists as its own query so the scale-hardened path is
@@ -352,7 +422,8 @@ object Dedup {
     "q52_minhash_lsh" -> (q52MinhashLsh _),
     "q53_simhash" -> (q53Simhash _),
     "q54_embedding_neardup" -> (q54EmbeddingNeardup _),
-    "q79_dedup_jaccard_capped" -> (q79DedupJaccardCapped _))
+    "q79_dedup_jaccard_capped" -> (q79DedupJaccardCapped _),
+    "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -360,5 +431,8 @@ object Dedup {
     "q52_minhash_lsh" -> q51Sql, // LSH+verify reproduces the exact J>=0.6 set
     "q53_simhash" -> q53Sql,
     "q54_embedding_neardup" -> q54Sql,
-    "q79_dedup_jaccard_capped" -> q79Sql)
+    "q79_dedup_jaccard_capped" -> q79Sql,
+    // Prefix filtering changes candidate generation only — the exact
+    // verify reproduces the full J >= 0.6 set, so q51's oracle applies.
+    "q81_dedup_jaccard_prefix" -> q51Sql)
 }
