@@ -9,9 +9,11 @@ import graft.sources.Tables.t
   * "identity" notion is the case-insensitive hashtag key,
   * Hashtag.scala:11-17).
   *
-  * Four families over `documents`:
+  * Families over `documents`:
   *   - exact (content-hash groupBy)                          → q50
   *   - n-gram Jaccard via shingle inverted index             → q51
+  *       · df-capped production posture                      → q79
+  *       · AllPairs/PPJoin prefix-filtered formulation       → q81
   *   - MinHash + LSH banding, exact-verified                 → q52
   *   - SimHash + pigeonhole banding for hamming ≤ 3          → q53
   * plus embedding-cosine near-dup pairs on `embeddings`      → q54.

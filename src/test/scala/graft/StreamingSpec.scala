@@ -19,6 +19,44 @@ class StreamingSpec extends SparkSpec {
     (s"""{"entities":{"hashtags":[${tags.map(t => s"""{"text":"$t"}""").mkString(",")}]}}""",
       ts(time))
 
+  test("windowed aggregation runs on the RocksDB state store (at-scale state backend)") {
+    // HDFS-backed state lives on executor heaps — at 100 TB of keyed state
+    // that's an OOM; RocksDB spills to local disk with incremental
+    // checkpointing. Same query semantics, swapped provider.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val counts = TweetPipeline.windowedCounts(
+      in.toDF().toDF("value", "ts"), windowLen = "15 minutes", slide = "5 minutes")
+    val q = counts.writeStream.format("memory").queryName("rocks_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "A", "B"))
+      q.processAllAvailable()
+      in.addData(tweetAt("2024-01-01 00:06:00", "A"))
+      q.processAllAvailable()
+      val rows = spark.table("rocks_counts")
+        .select(col("window.start").cast("string"), col("key"), col("count"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "a", 2L)))
+      assert(rows.contains(("2024-01-01 00:00:00", "b", 1L)))
+      // The provider must actually be RocksDB, not a silent fallback.
+      val usedRocks = q.lastProgress != null &&
+        q.lastProgress.stateOperators.nonEmpty &&
+        Option(q.lastProgress.stateOperators(0).customMetrics)
+          .exists(m => !m.isEmpty && m.keySet.toString.toLowerCase.contains("rocksdb"))
+      assert(usedRocks, s"RocksDB metrics absent: ${q.lastProgress}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sliding 15-minute window counts accumulate across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
