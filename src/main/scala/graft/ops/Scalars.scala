@@ -132,6 +132,29 @@ object Scalars {
               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
        FROM events GROUP BY 1 ORDER BY k_bucket NULLS FIRST"""
 
+  /** Semi-structured navigation via Spark 4's VARIANT type: parse_json
+    * once into the binary-encoded variant, then typed variant_get
+    * extraction — the at-scale successor to both q33's per-field
+    * get_json_object (re-parses per field) and q67's from_json (needs the
+    * schema up front). Variant keeps schema-on-read AND single-parse;
+    * at 100 TB it's the difference between N regex-ish scans of the JSON
+    * string and one binary decode. Same aggregate shape as q33 so the
+    * engines' answers are directly comparable.
+    */
+  def q82VariantJson(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k_val"))
+      .groupBy((col("k_val") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("k_val")).as("sum_k"))
+      .orderBy(col("k_bucket").asc_nulls_first)
+
+  val q82Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+              COUNT(*) AS n,
+              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY 1 ORDER BY k_bucket NULLS FIRST"""
+
   /** Array functions over tokenized documents: build the token array once,
     * then slice/contain/dedup-sort — all higher-order/array built-ins.
     */
@@ -225,7 +248,8 @@ object Scalars {
     "q33_json_funcs" -> (q33JsonFuncs _),
     "q34_array_funcs" -> (q34ArrayFuncs _),
     "q35_explode_tokens" -> (q35ExplodeTokens _),
-    "q36_conditionals" -> (q36Conditionals _))
+    "q36_conditionals" -> (q36Conditionals _),
+    "q82_variant_json" -> (q82VariantJson _))
 
   val oracle: Map[String, String] = Map(
     "q66_inline_unpivot" -> q66Sql,
@@ -235,5 +259,6 @@ object Scalars {
     "q33_json_funcs" -> q33Sql,
     "q34_array_funcs" -> q34Sql,
     "q35_explode_tokens" -> q35Sql,
-    "q36_conditionals" -> q36Sql)
+    "q36_conditionals" -> q36Sql,
+    "q82_variant_json" -> q82Sql)
 }
