@@ -24,6 +24,22 @@ class SourcesSpec extends SparkSpec {
       src.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("binaryFile source reads opaque payloads with metadata (multimodal ingest path)") {
+    val dir = tmp("binf")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"),
+      "hello".getBytes("UTF-8"))
+    val df = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("length"), col("content"))
+    val rows = df.collect().map(r =>
+      (r.getString(0).split('/').last, r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+      .sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0) == ("a.bin", 3L, Seq[Byte](1, 2, 3)))
+    assert(rows(1)._2 == 5L && new String(rows(1)._3.toArray, "UTF-8") == "hello")
+  }
+
   test("orc round-trip preserves schema and values") {
     val dir = tmp("orc") + "/supplier"
     val src = graft.sources.Tables.t(spark, sfDir, "supplier")
