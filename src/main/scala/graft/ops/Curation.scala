@@ -290,6 +290,52 @@ object Curation {
               ROUND(CAST(top_count AS DOUBLE) / n_grams, 6) AS top_gram_share
        FROM stats ORDER BY doc_id"""
 
+  /** Shard materialization — the consumer of [[q75TokenShards]]'s
+    * assignment: concatenate each shard's documents (doc_id order,
+    * newline-separated) into the actual training example, reported as
+    * (n_docs, total tokens, md5 checksum) so the oracle can verify the
+    * exact packed bytes without shipping them. Per-shard state is bounded
+    * by the 512-token budget (plus one overhanging doc), so the
+    * collect_list is safe at any corpus size — the partial aggregate
+    * carries at most a shard's worth of text per group.
+    */
+  def q83ShardText(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", expr(s"CAST(cum_before DIV $budget AS BIGINT)"))
+    d.groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        md5(expr(
+          "CAST(concat_ws('\n', transform(array_sort(collect_list(struct(doc_id, text))), e -> e.text)) AS BINARY)"))
+          .as("shard_md5"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
+  /** Oracle: same prefix-sum shard assignment (single window — q75 proved
+    * the equivalence), same doc_id-ordered newline join, same md5.
+    */
+  val q83Sql: String =
+    """WITH d AS (SELECT doc_id, lang, text,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents),
+       c AS (SELECT doc_id, lang, text, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             FROM d)
+       SELECT lang, CAST(cum_before // 512 AS BIGINT) AS shard_id,
+              COUNT(*) AS n_docs,
+              CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+              md5(string_agg(text, chr(10) ORDER BY doc_id)) AS shard_md5
+       FROM c GROUP BY lang, CAST(cum_before // 512 AS BIGINT)
+       ORDER BY lang, shard_id"""
+
   /** Deterministic train/val/test split assignment: bucket = first 8 hex
     * chars of md5("split:" + doc_id) mod 100 → <80 train, <90 val, else
     * test. Disjoint and exhaustive by construction, reproducible on any
@@ -337,7 +383,8 @@ object Curation {
     "q75_token_shards" -> (q75TokenShards _),
     "q76_decontaminate" -> (q76Decontaminate _),
     "q77_repetition" -> (q77Repetition _),
-    "q80_split_assign" -> (q80SplitAssign _))
+    "q80_split_assign" -> (q80SplitAssign _),
+    "q83_shard_text" -> (q83ShardText _))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
@@ -345,5 +392,6 @@ object Curation {
     "q75_token_shards" -> q75Sql,
     "q76_decontaminate" -> q76Sql,
     "q77_repetition" -> q77Sql,
-    "q80_split_assign" -> q80Sql)
+    "q80_split_assign" -> q80Sql,
+    "q83_shard_text" -> q83Sql)
 }
