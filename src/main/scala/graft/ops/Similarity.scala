@@ -181,19 +181,27 @@ object Similarity {
       .groupBy(col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
       .select(col("cell0").as("cell"), col("centroid"))
-    // One Lloyd step: rank all k centroids per vector (k·N codegen'd dots,
-    // broadcast — no shuffle of the corpus); rn=1 is the cell assignment,
-    // rn<=nProbe on the probe subset is the cell list to search.
+    // One Lloyd step: rank all k centroids per vector (k·N codegen'd dots
+    // against the broadcast centroids). The ranking window shuffles ONLY
+    // the narrow (vec_id, cell, d) triples — never the 16×-multiplied
+    // embedding vectors, which join back by vec_id afterwards (one narrow
+    // hash join each for the corpus assignment and the 20 probes).
+    // rn=1 is the cell assignment; rn<=nProbe on the probe subset is the
+    // cell list to search.
     val ranked = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("cell"),
+      .select(col("vec_id"), col("cell"),
         expr("graft_dot(emb, centroid)").as("d"))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("d").desc, col("cell").asc)))
     val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(emb, "vec_id")
       .select(col("vec_id"), col("emb"), col("cell"))
     val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"), col("cell"))
+      .select(col("vec_id").as("query_id"), col("cell"))
+      .join(broadcast(emb.filter(col("vec_id") < 20)), col("query_id") === col("vec_id"))
+      .select(col("query_id"), col("emb").as("q_emb"), col("cell"))
     broadcast(probeCells)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
