@@ -300,16 +300,16 @@ object Curation {
     * carries at most a shard's worth of text per group.
     */
   def q83ShardText(s: SparkSession, dir: String): DataFrame = {
-    val budget = 512L
-    val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("text"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tokens")).over(
-          Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("shard_id", expr(s"CAST(cum_before DIV $budget AS BIGINT)"))
-    d.groupBy(col("lang"), col("shard_id"))
+    // Shard assignment comes from q75's two-phase prefix sum — computed
+    // over NARROW (doc_id, lang, n_tokens) rows; the document text joins
+    // in only for the final shard aggregation, so exactly one shuffle
+    // carries text (the unavoidable one that brings a shard's docs
+    // together).
+    val assignment = q75TokenShards(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("shard_id"))
+    assignment
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")
+      .groupBy(col("lang"), col("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"),
         md5(expr(
