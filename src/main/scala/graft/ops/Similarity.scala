@@ -142,6 +142,81 @@ object Similarity {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Multi-probe hyperplane LSH (closes SURVEY §8's "multi-probe if the
+    * recall floor must rise"): each probe searches its own bucket PLUS the
+    * four one-bit-flipped buckets in every table — the perturbation
+    * sequence for sign-LSH, where a near-threshold neighbor most likely
+    * differs in exactly one plane's sign. Recall rises (strict superset of
+    * q56's candidates) without adding tables, i.e. without re-hashing the
+    * corpus — the standard memory/recall trade (Lv et al., "Multi-Probe
+    * LSH", VLDB'07). Candidate volume grows ~5× per probe but ONLY on the
+    * probe side: the corpus index is unchanged, so at 100 TB the extra
+    * cost is 4 more bucket lookups per (probe, table), not a bigger index.
+    * Deterministic (same shared planes + fixed flip set) → bit-exact
+    * DuckDB oracle like q56.
+    */
+  def q84AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val tabbed = emb
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+    // Probe side: home bucket + the 4 single-bit perturbations.
+    val probes = tabbed.filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("tbl"), explode(
+        expr("array(bucket, bucket ^ 8, bucket ^ 4, bucket ^ 2, bucket ^ 1)")).as("bucket"))
+    val cands = broadcast(probes.as("q"))
+      .join(tabbed.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
+      .distinct()
+    cands
+      .join(broadcast(emb.filter(col("vec_id") < 20).withColumnRenamed("emb", "q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(emb.withColumnRenamed("emb", "n_emb"), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_dot(q_emb, n_emb)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replica of q84: same signatures, candidate = collision of the
+    * neighbor's bucket with the probe's home-or-one-bit-flipped bucket in
+    * any table.
+    */
+  def q84Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 20
+           AND list_contains([n.sig[i] = q.sig[i] OR n.sig[i] = xor(q.sig[i], 8)
+                              OR n.sig[i] = xor(q.sig[i], 4) OR n.sig[i] = xor(q.sig[i], 2)
+                              OR n.sig[i] = xor(q.sig[i], 1)
+                              FOR i IN generate_series(1, $nt)], true)),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(a.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM cands c JOIN embeddings a ON c.query_id = a.vec_id
+                      JOIN embeddings b ON c.neighbor_id = b.vec_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   /** IVF (inverted-file) ANN — the other standard scale path the prompt
     * names: a coarse quantizer partitions the corpus into k=16 cells; each
     * probe scores only the vectors in its `nProbe`=4 nearest cells
@@ -259,10 +334,12 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
-    "q58_ann_ivf" -> (q58AnnIvf _))
+    "q58_ann_ivf" -> (q58AnnIvf _),
+    "q84_ann_multiprobe" -> (q84AnnMultiprobe _))
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
-    "q58_ann_ivf" -> q58Sql)
+    "q58_ann_ivf" -> q58Sql,
+    "q84_ann_multiprobe" -> q84Sql)
 }

@@ -97,6 +97,19 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall $recall vs exact top-5")
   }
 
+  test("multi-probe LSH recall dominates single-probe (strict candidate superset)") {
+    val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = ops.Similarity.q56AnnLsh(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val multi = ops.Similarity.q84AnnMultiprobe(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rs = (single & exact).size.toDouble / exact.size
+    val rm = (multi & exact).size.toDouble / exact.size
+    assert(rm >= rs, s"multiprobe recall $rm < single-probe $rs")
+    assert(rm > 0.6, s"multiprobe recall $rm too low")
+  }
+
   test("IVF ANN (deterministic Lloyd-step coarse quantizer, nProbe=4/16) has decent recall vs brute force") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
