@@ -69,9 +69,59 @@ object Vectors2 {
          FROM scored)
        WHERE rank <= 3 ORDER BY label, rank"""
 
+  /** Symmetric int8 quantization of the embedding column — the storage
+    * path for vector tables at 100 TB (4 bytes→1 byte per dim; ANN scoring
+    * then runs on int8 with a per-vector scale). Per vector: scale =
+    * max|x|/127 (order-independent exact max), q_i = round(x_i·127/scale'),
+    * reconstruction error reported as MSE over the dequantized values.
+    * Every FP step is either order-independent (max), single-rounded
+    * (round-half-up, both engines), or the shared ascending graft_dot fold
+    * (the squared-error sum) — so the oracle matches bit-for-bit despite
+    * 64 FP ops per row. Pure per-row map, no shuffle but the output sort.
+    */
+  def q85Quantize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("amax", expr("array_max(transform(emb, x -> abs(x)))"))
+      .withColumn("q", expr("transform(emb, x -> CAST(ROUND(x * 127 / amax) AS BIGINT))"))
+      .withColumn("err", expr("zip_with(emb, q, (x, v) -> x - CAST(v AS DOUBLE) * amax / 127)"))
+      .select(col("vec_id"),
+        round(col("amax"), 6).as("amax_r"),
+        expr("CAST(aggregate(q, 0L, (a, v) -> a + abs(v)) AS BIGINT)").as("q_l1"),
+        round(expr("graft_dot(err, err)") / size(col("emb")), 9).as("mse_r"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Oracle: identical max / round / dequant arithmetic; the squared-error
+    * sum is the same ascending-index fold as graft_dot; the |q| sum is
+    * exact integer.
+    */
+  val q85Sql: String =
+    """WITH v AS (
+         SELECT vec_id,
+                [CAST(x AS DOUBLE) FOR x IN embedding] AS emb
+         FROM embeddings),
+       m AS (SELECT vec_id, emb,
+                    list_max([abs(x) FOR x IN emb]) AS amax FROM v),
+       qz AS (SELECT vec_id, emb, amax,
+                     [CAST(ROUND(x * 127 / amax) AS BIGINT) FOR x IN emb] AS q
+              FROM m),
+       e AS (SELECT vec_id, amax, q,
+                    [emb[i] - CAST(q[i] AS DOUBLE) * amax / 127
+                     FOR i IN generate_series(1, len(emb))] AS err
+             FROM qz)
+       SELECT vec_id, ROUND(amax, 6) AS amax_r,
+              CAST(list_reduce([abs(x) FOR x IN q], (a, b) -> a + b) AS BIGINT) AS q_l1,
+              ROUND(list_reduce([x * x FOR x IN err], (a, b) -> a + b) / len(err), 9) AS mse_r
+       FROM e ORDER BY vec_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q59_centroids" -> (q59Centroids _))
+    "q59_centroids" -> (q59Centroids _),
+    "q85_quantize" -> (q85Quantize _))
 
   val oracle: Map[String, String] = Map(
-    "q59_centroids" -> q59Sql)
+    "q59_centroids" -> q59Sql,
+    "q85_quantize" -> q85Sql)
 }
