@@ -26,6 +26,12 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_lsh_buckets", (children: Seq[Expression]) => LshBucketsExpr(children(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", (children: Seq[Expression]) => MinHashSigExpr(children(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingle_hashes", (children: Seq[Expression]) => ShingleHashesExpr(children(0)),
+      "built-in")
   }
 }
 

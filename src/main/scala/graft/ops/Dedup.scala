@@ -30,10 +30,23 @@ import graft.sources.Tables.t
 object Dedup {
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime hash modulus
 
-  /** Word 3-gram shingle set, one row per distinct (doc, shingle).
+  /** Per-row distinct word-3-gram shingle ARRAY — the shared kernel of
+    * [[shingles]] and [[shingleSets]]. Distinctness is per document, so it
+    * is computed with `array_distinct` inside the row (codegen'd, free)
+    * instead of a corpus-wide `distinct()` — which round 3 paid as a full
+    * (doc, shingle) shuffle in every Jaccard-family query. Same rows out,
+    * one shuffle fewer in.
+    *
     * Documents under 3 tokens yield no shingles — guarded with IF, because
     * Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
     * DuckDB's generate_series) and slice(toks, 0, _) throws.
+    */
+  private val shingleArr: String =
+    """array_distinct(IF(size(toks) >= 3,
+          transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))),
+          array()))"""
+
+  /** Word 3-gram shingle set, one row per distinct (doc, shingle).
     *
     * `maxDf`: the config-gated hot-shingle cap (VERDICT r1 item 6).
     * Real corpora have stop-phrases whose shingles appear in a large
@@ -50,12 +63,7 @@ object Dedup {
   private[graft] def shingles(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
     val base = docs
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """IF(size(toks) >= 3,
-              transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))),
-              array())"""))
-        .as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(expr(shingleArr)).as("shingle"))
     maxDf.fold(base) { cap =>
       val hot = base.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
@@ -63,6 +71,27 @@ object Dedup {
       base.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
+
+  /** Per-document sorted shingle-set arrays `(doc_id, set, n)`, n ≥ 1 —
+    * documents with no shingles are dropped (they cannot be near-dups;
+    * matches the inverted-index formulations, where such docs simply have
+    * no rows). Uncapped, this is a PURE PER-ROW map over the corpus scan —
+    * zero shuffles: the set array is built, deduped, and sorted inside the
+    * row. With the df-cap the corpus-wide document frequencies force one
+    * aggregation over [[shingles]] first.
+    */
+  private[graft] def shingleSets(docs: DataFrame, maxDf: Option[Long] = None): DataFrame =
+    maxDf match {
+      case None =>
+        docs.withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), sort_array(expr(shingleArr)).as("set"))
+          .withColumn("n", size(col("set")).cast("long"))
+          .filter(col("n") > 0)
+      case Some(_) =>
+        shingles(docs, maxDf).groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(col("shingle"))).as("set"),
+            count(lit(1)).as("n"))
+    }
 
   /** Exact dedup: group by content hash (md5 — stable across engines),
     * keep the lowest doc_id deterministically. `dropDuplicates` keeps an
@@ -146,45 +175,82 @@ object Dedup {
   def q52MinhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashNearDups(t(s, dir, "documents"))
 
+  /** The shared MinHash permutation parameters (seed 42), sourced from
+    * [[graft.functions.MinHashSigExpr]] so the codegen'd expression, the
+    * MinHashAgg UDAF, and any caller agree on one parameter set.
+    */
+  private[graft] def minhashAB: Array[(Long, Long)] = graft.functions.MinHashSigExpr.AB
+
+  /** Per-document sorted distinct HASHED shingle arrays `(doc_id, hs, n)`,
+    * n ≥ 1 — the 64-bit-hash counterpart of [[shingleSets]], built by the
+    * codegen'd [[graft.functions.ShingleHashesExpr]] entirely inside the
+    * corpus scan (zero shuffles uncapped; the strings never leave the
+    * row). Set size, intersection, and document frequency on the hashes
+    * equal the string-shingle values modulo 64-bit collisions (~n²/2⁶⁴
+    * per document — negligible at any real document size; the standard
+    * large-scale MinHash trade). With the df-cap, hot HASHES are removed
+    * by the same broadcast anti-join posture as [[shingles]].
+    */
+  private[graft] def hashedShingleSets(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val base = docs
+      .select(col("doc_id"), expr("graft_shingle_hashes(split(text, ' '))").as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
+      .filter(col("n") > 0)
+    maxDf.fold(base) { cap =>
+      val hot = base.select(explode(col("hs")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select(col("h"))
+      base.select(col("doc_id"), explode(col("hs")).as("h"))
+        .join(broadcast(hot), Seq("h"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n"))
+    }
+  }
+
   /** Library form of q52, with the optional hot-shingle df-cap applied to
     * the whole shingle universe (signatures, sizes, common counts — see
     * [[shingles]]), so banding probabilities and the exact verify agree on
     * the same capped Jaccard.
+    *
+    * Round-4 shape (VERDICT r3 item 1): everything before the bucket
+    * self-join is a PER-ROW map — shingle sets, the codegen'd 128-hash
+    * signature ([[graft.functions.MinHashSigExpr]]), and band keys are all
+    * computed inside the corpus scan, so the first shuffle any byte pays
+    * is the band-bucket join itself. Each band's 4 signature slots are
+    * packed with the band index into a single BIGINT (xxhash64), so that
+    * join shuffles and compares scalars, not arrays. A 64-bit key
+    * collision can only ADD a candidate pair (two docs hashing different
+    * band values to one key), never drop one, and every candidate is
+    * exact-verified — so the result set is unchanged. The verify reuses
+    * the same cached sets frame via one array_intersect pass per
+    * candidate instead of re-shuffling a (doc, shingle) stream.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None): DataFrame = {
-    val numPerm = 128; val bandRows = 4; val numBands = numPerm / bandRows
-    val rnd = new scala.util.Random(42)
-    val ab = Array.fill(numPerm)((rnd.nextLong().abs % (P - 1) + 1, rnd.nextLong().abs % P))
-
-    val sh = shingles(docs, maxShingleDf).cache()
-    val hashed = sh.withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
-    // One typed sketch aggregate computes the whole 128-slot signature
-    // (bounded array buffer, map-side mergeable) — measured faster than
-    // 128 separate min() aggregate columns.
-    val mh = udaf(new graft.functions.MinHashAgg(numPerm, ab, P))
-    val sigs = hashed.groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
-    // Explode into bands; bucket key = (band index, 4 signature slots).
-    val bands = sigs.select(col("doc_id"), posexplode(
-      expr(s"transform(sequence(0, ${numBands - 1}), b -> slice(sig, b * $bandRows + 1, $bandRows))"))
-      .as(Seq("band", "bvals")))
+    val bandRows = 4; val numBands = 128 / bandRows
+    val sets = hashedShingleSets(docs, maxShingleDf).cache()
+    val bands = sets
+      .withColumn("sig", expr("graft_minhash_sig(hs)"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${numBands - 1}), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
+        .as("bkey"))
     val cands = bands.as("x")
       .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bvals") === col("y.bvals") &&
-          col("x.doc_id") < col("y.doc_id"))
+        col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .distinct()
-    // Exact verification, candidate-proportional: attach both shingle sets.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cands
-      .join(sh.as("a"), col("id1") === col("a.doc_id"))
-      .join(sh.as("b"), col("id2") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
-      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+    // Exact verification, candidate-proportional: one primitive-long set
+    // intersection per candidate pair against the shared cached sets.
+    cands
+      .join(sets.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
-        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+        size(array_intersect(col("s1.hs"), col("s2.hs"))).cast("long").as("c"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
@@ -353,13 +419,19 @@ object Dedup {
   def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs)
-    // Per-doc sorted shingle-set arrays: one row per doc, reused by the
-    // prefix index AND the verify (docs are bounded, so the array is too).
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"),
-        count(lit(1)).as("n"))
-      .cache()
+    // Per-doc sorted shingle-set arrays: one row per doc, built per-row
+    // (zero shuffles — see [[shingleSets]]), reused by the prefix index
+    // AND the verify (docs are bounded, so the array is too).
+    val sets = shingleSets(docs).cache()
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // ⌈t·n⌉ with an epsilon guard: plain ceil(t*n) in doubles can exceed
+    // the exact rational ⌈t·n⌉ when t·n rounds up past an integer (e.g.
+    // t = 0.1, n = 10 → 1.0000000000000002 → ceil 2), which would SHORTEN
+    // the prefix / over-tighten the size filter and silently drop true
+    // pairs. Subtracting an epsilon far above double ulp but far below
+    // 1/n for any real document errs the other way only: at worst one
+    // extra prefix shingle / candidate, which the exact verify removes.
+    def ceilTn(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     // Rare-first global order (df asc, shingle asc for determinism);
     // per-doc rank, keep the first n - ceil(t*n) + 1. Cached: both sides
     // of the candidate self-join read it.
@@ -367,14 +439,14 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
       .join(sets.select(col("doc_id"), col("n")), "doc_id")
-      .filter(col("rk") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .filter(col("rk") <= col("n") - ceilTn(col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
       .cache()
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          col("b.n") >= ceil(lit(threshold) * col("a.n")) &&
-          col("b.n") * lit(threshold) <= col("a.n"))
+          col("b.n") >= ceilTn(col("a.n")) &&
+          col("b.n") * lit(threshold) <= col("a.n") + lit(1e-9))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // Exact verify, candidate-proportional: join both docs' set arrays and

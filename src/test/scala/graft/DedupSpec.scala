@@ -17,6 +17,36 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // testdata plants near-dups; empty would be vacuous
   }
 
+  test("graft_shingle_hashes equals sorted-distinct SQL xxhash64 3-gram chain") {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+    // SQL reference: chained xxhash64 of tokens (i, i+1, i+2), per-row
+    // distinct, sorted — exactly what the codegen'd expression claims.
+    val sqlRef = docs.select(col("doc_id"), expr(
+      """sort_array(array_distinct(IF(size(toks) >= 3,
+           transform(sequence(1, size(toks) - 2),
+             i -> xxhash64(element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))),
+           array())))""").as("hs"))
+    val fast = docs.select(col("doc_id"), expr("graft_shingle_hashes(toks)").as("hs"))
+    assert(sqlRef.exceptAll(fast).isEmpty && fast.exceptAll(sqlRef).isEmpty)
+  }
+
+  test("graft_minhash_sig equals the MinHashAgg UDAF on the same hashed shingles") {
+    graft.functions.VectorExpressions.register(spark)
+    val hs = ops.Dedup.hashedShingleSets(
+      graft.sources.Tables.t(spark, sfDir, "documents"))
+    val viaExpr = hs.select(col("doc_id"), expr("graft_minhash_sig(hs)").as("sig"))
+    val mh = udaf(new graft.functions.MinHashAgg(
+      graft.functions.MinHashSigExpr.NumPerm, ops.Dedup.minhashAB,
+      graft.functions.MinHashSigExpr.P))
+    val viaAgg = hs.select(col("doc_id"),
+        explode(expr(s"transform(hs, x -> pmod(x, ${graft.functions.MinHashSigExpr.P}L))")).as("h"))
+      .groupBy(col("doc_id")).agg(mh(col("h")).as("sig"))
+    assert(viaExpr.exceptAll(viaAgg).isEmpty && viaAgg.exceptAll(viaExpr).isEmpty)
+    assert(viaExpr.count() > 0)
+  }
+
   test("simhash: identical text yields identical signature, near-dups land within radius") {
     val pairs = ops.Dedup.q53Simhash(spark, sfDir)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
