@@ -331,15 +331,126 @@ object Similarity {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Quantized ANN serving shape (VERDICT r3 item 4): LSH candidates →
+    * cheap INT8 scoring → exact rerank of the short list. This is the
+    * standard memory-bound layout: the int8 codes (q85's symmetric
+    * per-vector quantization, 1 byte/dim + one scale) are what a 100 TB
+    * vector corpus actually keeps hot; the float vectors are only touched
+    * for the top-2k rerank.
+    *
+    * Stage shape: candidates are q56's multi-table hyperplane-LSH pairs
+    * (probe side broadcasts, corpus index unchanged); the int8 score is an
+    * EXACT integer dot product (|q_i| ≤ 127, 64 dims → |score| ≤ 2²⁰ —
+    * no overflow, no FP, so cross-engine bit-equality is free); per query
+    * the top-2k = 10 by int score (ties to neighbor id) rerank with the
+    * shared double fold. Everything is deterministic, so the oracle
+    * hash-checks the full approximate pipeline end to end.
+    */
+  def q87AnnQuantRescore(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val W = org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Per-vector symmetric int8 codes — q85's exact arithmetic.
+    val codes = emb
+      .withColumn("amax", expr("array_max(transform(emb, x -> abs(x)))"))
+      .select(col("vec_id"),
+        expr("transform(emb, x -> CAST(ROUND(x * 127 / amax) AS BIGINT))").as("code"))
+    val tabbed = emb
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+    val probes = tabbed.filter(col("vec_id") < 20)
+    val cands = broadcast(probes.as("q"))
+      .join(tabbed.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
+      .distinct()
+    // Integer scoring pass over the candidates (codes broadcast-joined by
+    // id — narrow), then keep 2k = 10 per query.
+    val shortlist = cands
+      .join(broadcast(codes.filter(col("vec_id") < 20).withColumnRenamed("code", "q_code")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(codes.withColumnRenamed("code", "n_code"), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(q_code, n_code, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("int_score"))
+      .withColumn("rn", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(col("int_score").desc, col("neighbor_id").asc)))
+      .filter(col("rn") <= 10)
+    // Exact rerank of the shortlist only.
+    shortlist
+      .join(broadcast(emb.filter(col("vec_id") < 20).withColumnRenamed("emb", "q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(emb.withColumnRenamed("emb", "n_emb"), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("int_score"),
+        expr("graft_dot(q_emb, n_emb)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        col("int_score"), round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB replica of q87: identical plane-literal candidates (q56's),
+    * identical ROUND-half-up int8 codes (q85's), exact integer shortlist,
+    * identical ascending-index double fold for the rerank.
+    */
+  def q87Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 20
+           AND list_contains([q.sig[i] = n.sig[i] FOR i IN generate_series(1, $nt)], true)),
+       v AS (SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS emb FROM embeddings),
+       codes AS (
+         SELECT vec_id,
+                [CAST(ROUND(x * 127 / list_max([abs(y) FOR y IN emb])) AS BIGINT)
+                 FOR x IN emb] AS code
+         FROM v),
+       shortlist AS (
+         SELECT query_id, neighbor_id, int_score FROM (
+           SELECT c.query_id, c.neighbor_id,
+                  CAST(list_reduce([qc.code[i] * nc.code[i]
+                                    FOR i IN generate_series(1, len(qc.code))],
+                                   (a, b) -> a + b) AS BIGINT) AS int_score,
+                  ROW_NUMBER() OVER (PARTITION BY c.query_id
+                    ORDER BY CAST(list_reduce([qc.code[i] * nc.code[i]
+                                    FOR i IN generate_series(1, len(qc.code))],
+                                   (a, b) -> a + b) AS BIGINT) DESC,
+                             c.neighbor_id ASC) AS rn
+           FROM cands c JOIN codes qc ON c.query_id = qc.vec_id
+                        JOIN codes nc ON c.neighbor_id = nc.vec_id)
+         WHERE rn <= 10),
+       reranked AS (
+         SELECT s.query_id, s.neighbor_id, s.int_score,
+                list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(a.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM shortlist s JOIN embeddings a ON s.query_id = a.vec_id
+                          JOIN embeddings b ON s.neighbor_id = b.vec_id)
+       SELECT query_id, rank, neighbor_id, int_score, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM reranked)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
     "q58_ann_ivf" -> (q58AnnIvf _),
-    "q84_ann_multiprobe" -> (q84AnnMultiprobe _))
+    "q84_ann_multiprobe" -> (q84AnnMultiprobe _),
+    "q87_ann_quant_rescore" -> (q87AnnQuantRescore _))
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q58_ann_ivf" -> q58Sql,
-    "q84_ann_multiprobe" -> q84Sql)
+    "q84_ann_multiprobe" -> q84Sql,
+    "q87_ann_quant_rescore" -> q87Sql)
 }

@@ -37,6 +37,27 @@ class CurationSpec extends SparkSpec {
     assert(out(5L) == 5L && out(6L) == 6L)
   }
 
+  test("connected components: 1000-vertex chain converges in O(log n) rounds with bounded storage") {
+    val n = 1000L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val (out, rounds) = ops.Curation.connectedComponentsWithRounds(docs, pairs)
+    val labels = out.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      s"chain must collapse to one component labeled 0")
+    // Pointer doubling: distance covered grows 2d+1 per round, so a
+    // diameter-999 chain needs ~ceil(log2(1000)) ≈ 10 rounds + 1 to
+    // confirm the fixpoint. The round-3 plain propagation needed 999 and
+    // silently hit its 25-round cap.
+    assert(rounds <= 15, s"expected <=15 doubling rounds for a 1000-chain, got $rounds")
+    // Cache hygiene: only the final label frame may remain pinned (the
+    // returned plan reads it); every intermediate round was unpersisted.
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 2,
+      s"round caches leaked: $persistedBefore -> $persistedAfter persistent RDDs")
+  }
+
   test("stratified sample is capped per stratum and reproducible") {
     val s1 = ops.Curation.q74StratifiedSample(spark, sfDir)
       .select("source", "doc_id").as[(String, Long)].collect()

@@ -127,7 +127,9 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti, BuildRight") || p.contains("BroadcastHashJoin") &&
       p.contains("LeftAnti"), p)
-    assert(!p.contains("SortMergeJoin.*LeftAnti"), p)
+    // Regex, not String.contains (which round 3 shipped — vacuously true
+    // on the literal): no sort-merge anti-join may implement the cap.
+    assert("(?s)SortMergeJoin.*LeftAnti".r.findFirstIn(p).isEmpty, p)
   }
 
   test("q47 sessionization reuses one exchange across its window passes") {
