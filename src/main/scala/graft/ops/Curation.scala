@@ -52,8 +52,9 @@ object Curation {
     * frame. Exposed for reuse with any pair miner (q51's Jaccard here,
     * q52's MinHash or q54's embedding buckets identically).
     */
-  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame): DataFrame =
-    connectedComponentsWithRounds(docs, pairs)._1
+  private[graft] def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                                         handle: StorageHandle = new StorageHandle): DataFrame =
+    connectedComponentsWithRounds(docs, pairs, handle)._1
 
   /** [[connectedComponents]] plus the number of propagation rounds the
     * loop actually ran — exposed so CurationSpec can pin the O(log
@@ -80,7 +81,8 @@ object Curation {
     * loop only moves a per-round convergence COUNT, never data.
     */
   private[graft] def connectedComponentsWithRounds(
-      docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+      docs: DataFrame, pairs: DataFrame,
+      handle: StorageHandle = new StorageHandle): (DataFrame, Int) = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .cache()
@@ -124,6 +126,9 @@ object Curation {
         s"connectedComponents failed to converge after $maxRounds rounds " +
           s"($changed labels still moving) — graph larger than the doubling bound allows?")
     edges.unpersist()
+    // The final label frame must stay cached (the returned plan reads it);
+    // register it with the caller's handle so release() reclaims it.
+    handle.adopt(pinned)
     val out = docs.join(labels, col("doc_id") === col("v"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
@@ -354,13 +359,22 @@ object Curation {
     * collect_list is safe at any corpus size — the partial aggregate
     * carries at most a shard's worth of text per group.
     */
-  def q83ShardText(s: SparkSession, dir: String): DataFrame = {
+  def q83ShardText(s: SparkSession, dir: String): DataFrame = shardText(s, dir)
+
+  /** Library form of q83: pass `precomputed` when q75's assignment is
+    * already materialized in the pipeline (the usual case — the
+    * assignment IS a pipeline output too), so the two-phase prefix-sum
+    * subtree isn't recomputed here (VERDICT r3 item 6). Default recomputes
+    * it, which is what the standalone query does.
+    */
+  def shardText(s: SparkSession, dir: String,
+                precomputed: Option[DataFrame] = None): DataFrame = {
     // Shard assignment comes from q75's two-phase prefix sum — computed
     // over NARROW (doc_id, lang, n_tokens) rows; the document text joins
     // in only for the final shard aggregation, so exactly one shuffle
     // carries text (the unavoidable one that brings a shard's docs
     // together).
-    val assignment = q75TokenShards(s, dir)
+    val assignment = precomputed.getOrElse(q75TokenShards(s, dir))
       .select(col("lang"), col("doc_id"), col("n_tokens"), col("shard_id"))
     assignment
       .join(t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id")

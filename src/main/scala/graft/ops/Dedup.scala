@@ -117,11 +117,14 @@ object Dedup {
     jaccardNearDups(t(s, dir, "documents"))
 
   /** Library form of q51: near-dup pairs over any (doc_id, text) frame,
-    * with the optional hot-shingle df-cap (see [[shingles]]).
+    * with the optional hot-shingle df-cap (see [[shingles]]) and the
+    * cache-lifecycle contract (see [[StorageHandle]] — call
+    * `handle.release()` once the result is materialized).
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
-                      maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, maxShingleDf).cache()
+                      maxShingleDf: Option[Long] = None,
+                      handle: StorageHandle = new StorageHandle): DataFrame = {
+    val sh = handle.pin(shingles(docs, maxShingleDf))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -228,9 +231,10 @@ object Dedup {
     * candidate instead of re-shuffling a (doc, shingle) stream.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
-                      maxShingleDf: Option[Long] = None): DataFrame = {
+                      maxShingleDf: Option[Long] = None,
+                      handle: StorageHandle = new StorageHandle): DataFrame = {
     val bandRows = 4; val numBands = 128 / bandRows
-    val sets = hashedShingleSets(docs, maxShingleDf).cache()
+    val sets = handle.pin(hashedShingleSets(docs, maxShingleDf))
     val bands = sets
       .withColumn("sig", expr("graft_minhash_sig(hs)"))
       .select(col("doc_id"), explode(expr(
@@ -416,13 +420,14 @@ object Dedup {
   def q81DedupJaccardPrefix(s: SparkSession, dir: String): DataFrame =
     jaccardNearDupsPrefix(t(s, dir, "documents"))
 
-  def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6,
+                            handle: StorageHandle = new StorageHandle): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs)
     // Per-doc sorted shingle-set arrays: one row per doc, built per-row
     // (zero shuffles — see [[shingleSets]]), reused by the prefix index
     // AND the verify (docs are bounded, so the array is too).
-    val sets = shingleSets(docs).cache()
+    val sets = handle.pin(shingleSets(docs))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // ⌈t·n⌉ with an epsilon guard: plain ceil(t*n) in doubles can exceed
     // the exact rational ⌈t·n⌉ when t·n rounds up past an integer (e.g.
@@ -433,15 +438,15 @@ object Dedup {
     // extra prefix shingle / candidate, which the exact verify removes.
     def ceilTn(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
     // Rare-first global order (df asc, shingle asc for determinism);
-    // per-doc rank, keep the first n - ceil(t*n) + 1. Cached: both sides
-    // of the candidate self-join read it.
-    val prefix = sh.join(dfreq, "shingle")
+    // per-doc rank, keep the first n - ceil(t*n) + 1. Pinned: both sides
+    // of the candidate self-join read it (uncached, the whole upstream
+    // chain would compute twice).
+    val prefix = handle.pin(sh.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
       .join(sets.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("rk") <= col("n") - ceilTn(col("n")) + 1)
-      .select(col("doc_id"), col("shingle"), col("n"))
-      .cache()
+      .select(col("doc_id"), col("shingle"), col("n")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The StorageHandle contract (VERDICT r3 item 5): library operators that
+  * cache intermediates register them with the caller's handle, and
+  * release() reclaims exactly those — no lingering persistent RDDs, no
+  * clearCache() sledgehammer.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("released handles leave no persistent RDDs behind") {
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+    val before = spark.sparkContext.getPersistentRDDs.size
+
+    val h1 = new ops.StorageHandle
+    assert(ops.Dedup.jaccardNearDups(docs, handle = h1).count() > 0)
+    val h2 = new ops.StorageHandle
+    assert(ops.Dedup.minhashNearDups(docs, handle = h2).count() > 0)
+    val h3 = new ops.StorageHandle
+    assert(ops.Dedup.jaccardNearDupsPrefix(docs, handle = h3).count() > 0)
+    val h4 = new ops.StorageHandle
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    assert(ops.Curation.connectedComponents(
+      docs.select(col("doc_id")), pairs, h4).count() > 0)
+
+    // While the handles are open the shared frames ARE cached (that's the
+    // reuse the operators rely on)...
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected live caches while handles are open")
+    h1.release(); h2.release(); h3.release(); h4.release()
+    // ...and releasing them restores the session exactly.
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size} != $before")
+  }
+}

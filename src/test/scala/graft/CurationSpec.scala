@@ -58,6 +58,19 @@ class CurationSpec extends SparkSpec {
       s"round caches leaked: $persistedBefore -> $persistedAfter persistent RDDs")
   }
 
+  test("shard text over a shared cached q75 assignment equals the standalone query") {
+    val standalone = ops.Curation.q83ShardText(spark, sfDir)
+    val assignment = ops.Curation.q75TokenShards(spark, sfDir).cache()
+    try {
+      val shared = ops.Curation.shardText(spark, sfDir, Some(assignment))
+      assert(standalone.exceptAll(shared).isEmpty && shared.exceptAll(standalone).isEmpty)
+      // Sharing skips the prefix-sum recompute: the shared plan must not
+      // contain q75's two-phase broadcast join below the text join.
+      val p = shared.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), p.take(2000))
+    } finally assignment.unpersist()
+  }
+
   test("stratified sample is capped per stratum and reproducible") {
     val s1 = ops.Curation.q74StratifiedSample(spark, sfDir)
       .select("source", "doc_id").as[(String, Long)].collect()
