@@ -33,6 +33,113 @@ object MinHashSigExpr {
   }
   lazy val A: Array[Long] = AB.map(_._1)
   lazy val B: Array[Long] = AB.map(_._2)
+
+  val BandRows: Int = 4
+  val NumBands: Int = NumPerm / BandRows
+
+  /** Shared interpreted kernel: 128-slot signature of pre-hashed shingles. */
+  def signature(hs: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumPerm)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      val h = java.lang.Math.floorMod(hs(i), P)
+      var j = 0
+      while (j < NumPerm) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** The 32 packed band-bucket keys of a signature: per band b, the
+    * chained seed-42 XxHash64 of (b, slot0..slot3) — exactly what SQL
+    * `xxhash64(b, slice(sig, b*4+1, 4))` computes (int hashed first, then
+    * each array element folding the previous value as its seed).
+    */
+  def bandKeys(sig: Array[Long]): Array[Long] = {
+    val out = new Array[Long](NumBands)
+    var b = 0
+    while (b < NumBands) {
+      var h = XXH64.hashInt(b, Seed)
+      var r = 0
+      while (r < BandRows) { h = XXH64.hashLong(sig(b * BandRows + r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+}
+
+/** Signature + band packing fused in ONE codegen'd pass:
+  * `graft_minhash_bands(array<bigint>) -> array<bigint>` — the 32 LSH
+  * band-bucket keys of a document's hashed shingle set. Equivalent to
+  * `transform(sequence(0, 31), b -> xxhash64(b, slice(graft_minhash_sig
+  * (hs), b*4+1, 4)))` (pinned by DedupSpec) but without the higher-order
+  * lambda, which re-evaluates the signature subtree once per band. This
+  * is the kernel both batch q52 and the streaming near-dup sketch hang
+  * off: one expression turns a document row into its bucket keys, so the
+  * only stateful/shuffled object is the scalar band key.
+  */
+case class MinHashBandsExpr(child: Expression) extends UnaryExpression {
+  import MinHashSigExpr._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands requires an array<bigint> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    new GenericArrayData(bandKeys(signature(arr.toLongArray())))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val r = ctx.freshName("r")
+      val k = ctx.freshName("k")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $sig = new long[$NumPerm];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = java.lang.Math.floorMod($arr.getLong($i), ${P}L);
+         |  for (int $j = 0; $j < $NumPerm; $j++) {
+         |    long $v = ($aRef[$j] * $h + $bRef[$j]) % ${P}L;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |long[] $out = new long[$NumBands];
+         |for (int $b = 0; $b < $NumBands; $b++) {
+         |  long $k = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt($b, ${Seed}L);
+         |  for (int $r = 0; $r < $BandRows; $r++) {
+         |    $k = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+         |      $sig[$b * $BandRows + $r], $k);
+         |  }
+         |  $out[$b] = $k;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
 }
 
 /** Distinct hashed word-3-gram shingles of a token array in ONE codegen'd

@@ -32,6 +32,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingle_hashes", (children: Seq[Expression]) => ShingleHashesExpr(children(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands", (children: Seq[Expression]) => MinHashBandsExpr(children(0)),
+      "built-in")
   }
 }
 

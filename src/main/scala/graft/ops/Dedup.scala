@@ -233,13 +233,12 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
                       handle: StorageHandle = new StorageHandle): DataFrame = {
-    val bandRows = 4; val numBands = 128 / bandRows
     val sets = handle.pin(hashedShingleSets(docs, maxShingleDf))
+    // Fused signature+banding kernel: one codegen'd pass from hashed
+    // shingles to the 32 packed band keys (DedupSpec pins equivalence to
+    // the transform/xxhash64/slice SQL formulation).
     val bands = sets
-      .withColumn("sig", expr("graft_minhash_sig(hs)"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, ${numBands - 1}), b -> xxhash64(b, slice(sig, b * $bandRows + 1, $bandRows)))"))
-        .as("bkey"))
+      .select(col("doc_id"), explode(expr("graft_minhash_bands(hs)")).as("bkey"))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))

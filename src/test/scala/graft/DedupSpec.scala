@@ -47,6 +47,17 @@ class DedupSpec extends SparkSpec {
     assert(viaExpr.count() > 0)
   }
 
+  test("graft_minhash_bands equals the transform/xxhash64/slice SQL formulation") {
+    graft.functions.VectorExpressions.register(spark)
+    val hs = ops.Dedup.hashedShingleSets(
+      graft.sources.Tables.t(spark, sfDir, "documents"))
+    val fused = hs.select(col("doc_id"), expr("graft_minhash_bands(hs)").as("bands"))
+    val sql = hs.select(col("doc_id"), expr(
+      "transform(sequence(0, 31), b -> xxhash64(b, slice(graft_minhash_sig(hs), b * 4 + 1, 4)))")
+      .as("bands"))
+    assert(fused.exceptAll(sql).isEmpty && sql.exceptAll(fused).isEmpty)
+  }
+
   test("simhash: identical text yields identical signature, near-dups land within radius") {
     val pairs = ops.Dedup.q53Simhash(spark, sfDir)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()

@@ -144,6 +144,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup sketch flags a planted pair across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StatefulOps.DocEvent]
+    val out = StatefulOps.nearDupCandidates(in.toDS())
+    val q = out.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      val dup = "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill"
+      val other = "completely different content about distributed state stores and incremental checkpointing"
+      in.addData(StatefulOps.DocEvent(1L, dup), StatefulOps.DocEvent(3L, other))
+      q.processAllAvailable()
+      // The near-dup arrives in a LATER micro-batch: identical text means
+      // identical signature, so every band bucket already holds doc 1.
+      in.addData(StatefulOps.DocEvent(2L, dup))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup").select("id1", "id2").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"planted pair missing: $pairs")
+      // The dissimilar doc must not collide with anything: band equality
+      // needs 4 identical signature slots (~(1/P)^4 for unrelated text).
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), pairs.toString)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals update incrementally") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
