@@ -57,6 +57,12 @@ object Hyperplanes {
     */
   def sparkBucketsExpr(emb: String): String = s"graft_lsh_buckets($emb)"
 
+  /** Same shared planes regrouped into 64/bits tables of `bits` sign bits
+    * — the corpus-growth dial (see [[LshBucketsExpr]] scaladoc).
+    */
+  def sparkBucketsExpr(emb: String, bitsPerTable: Int): String =
+    s"graft_lsh_buckets($emb, $bitsPerTable)"
+
   /** The pre-round-3 formulation: one `graft_dot` against a literal plane
     * array per (table, bit). Retained as the independent reference
     * implementation for the equivalence spec.

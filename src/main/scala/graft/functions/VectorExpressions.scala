@@ -24,7 +24,13 @@ object VectorExpressions {
       "graft_dot", (children: Seq[Expression]) => DotProductExpr(children(0), children(1)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_buckets", (children: Seq[Expression]) => LshBucketsExpr(children(0)),
+      "graft_lsh_buckets", {
+        case Seq(c) => LshBucketsExpr(c)
+        case Seq(c, b) => LshBucketsExpr(c,
+          b.eval().asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_buckets takes (emb[, bitsPerTable]), got ${other.size} args")
+      }: (Seq[Expression] => Expression),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig", (children: Seq[Expression]) => MinHashSigExpr(children(0)),
@@ -91,12 +97,20 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** All 16 hyperplane-LSH bucket ids of an array<double> embedding in ONE
+/** All hyperplane-LSH bucket ids of an array<double> embedding in ONE
   * pass: one expression evaluating 64 plane dots against a referenced
   * plane matrix, instead of the 64 separate `graft_dot(emb, array(<64
   * literals>))` subtrees `Hyperplanes.sparkBucketsExpr` used to emit —
   * which re-read the input array 64 times and code-generated ~4k array
   * literals per query.
+  *
+  * `bitsPerTable` regroups the SAME 64 shared planes into 64/bits tables
+  * of `bits` sign bits — the corpus-growth dial: candidate volume in a
+  * bucket self-join is ∝ n²/2^bits per table, so bits must grow with
+  * log₂(corpus) to keep candidates linear. Because an r-bit grouping's
+  * table t is the concatenation of finer groupings' tables, raising bits
+  * strictly SHRINKS the candidate set (collision must hold in every
+  * constituent sub-table) — pinned by DedupSpec.
   *
   * Parity: each plane's dot is the same ascending-index 0.0-init double
   * fold as `graft_dot`, and the planes are the same
@@ -104,7 +118,13 @@ case class DotProductExpr(left: Expression, right: Expression)
   * bucket ids (and every downstream q54/q56 result) are bit-identical to
   * the multi-expression form and to DuckDB.
   */
-case class LshBucketsExpr(child: Expression) extends UnaryExpression {
+case class LshBucketsExpr(child: Expression,
+                          bitsPerTable: Int = Hyperplanes.bits) extends UnaryExpression {
+  require(bitsPerTable > 0 && bitsPerTable <= 30 &&
+    (Hyperplanes.tables * Hyperplanes.bits) % bitsPerTable == 0,
+    s"bitsPerTable must divide ${Hyperplanes.tables * Hyperplanes.bits}, got $bitsPerTable")
+
+  private def nTables: Int = Hyperplanes.tables * Hyperplanes.bits / bitsPerTable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -119,17 +139,17 @@ case class LshBucketsExpr(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val dim = math.min(emb.numElements(), Hyperplanes.dim)
-    val out = new Array[Int](Hyperplanes.tables)
+    val out = new Array[Int](nTables)
     var t = 0
-    while (t < Hyperplanes.tables) {
+    while (t < nTables) {
       var bucket = 0
       var b = 0
-      while (b < Hyperplanes.bits) {
-        val off = (t * Hyperplanes.bits + b) * Hyperplanes.dim
+      while (b < bitsPerTable) {
+        val off = (t * bitsPerTable + b) * Hyperplanes.dim
         var s = 0.0
         var i = 0
         while (i < dim) { s += emb.getDouble(i) * flatPlanes(off + i); i += 1 }
-        if (s > 0.0) bucket += 1 << (Hyperplanes.bits - 1 - b)
+        if (s > 0.0) bucket += 1 << (bitsPerTable - 1 - b)
         b += 1
       }
       out(t) = bucket
@@ -140,7 +160,7 @@ case class LshBucketsExpr(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planes = ctx.addReferenceObj("lshPlanes", flatPlanes, "double[]")
-    val (tables, bits, dim) = (Hyperplanes.tables, Hyperplanes.bits, Hyperplanes.dim)
+    val (tables, bits, dim) = (nTables, bitsPerTable, Hyperplanes.dim)
     nullSafeCodeGen(ctx, ev, emb => {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")

@@ -355,10 +355,29 @@ object Dedup {
     */
   def q54EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val e = t(s, dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))
+  }
+
+  /** Library form of q54 over any (vec_id, emb: array<double>) frame.
+    *
+    * `bitsPerTable` is the corpus-growth dial the sf1 scaling probe
+    * surfaced: with b bits (2^b buckets) per table, the bucket self-join
+    * produces ∝ n²·tables/2^b candidates — linear-in-n work requires
+    * b ≈ log₂(n) + const. The default 4 bits matches the oracle-checked
+    * q54 at test SFs; at 10× corpus, bits = 8 (the same 64 shared planes
+    * regrouped into 8 tables of 8 bits) cuts candidates ~100× at a
+    * recall cost on threshold-grazing pairs ((1−θ/π)^8 per table) that
+    * multi-probing or more planes buys back. Raising bits on the same
+    * planes strictly shrinks the candidate set (a coarse table is the
+    * concatenation of its fine sub-tables), so the verified result is
+    * always a subset — pinned by DedupSpec.
+    */
+  def embeddingNearDups(e: DataFrame, threshold: Double = 0.45,
+                        bitsPerTable: Int = graft.functions.Hyperplanes.bits): DataFrame = {
     val bands = e.select(col("vec_id"), posexplode(
-      expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+      expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable)))
+      .as(Seq("tbl", "bucket")))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
@@ -369,7 +388,7 @@ object Dedup {
       .join(e.as("a"), col("id1") === col("a.vec_id"))
       .join(e.as("b"), col("id2") === col("b.vec_id"))
       .select(col("id1"), col("id2"), expr("graft_dot(a.emb, b.emb)").as("cosine"))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 

@@ -112,6 +112,21 @@ class DedupSpec extends SparkSpec {
       .filter(col("cosine") >= 0.45)
   }
 
+  test("raising LSH bits-per-table strictly shrinks the verified near-dup set") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.t(spark, sfDir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val fine = ops.Dedup.embeddingNearDups(e, bitsPerTable = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val coarse = ops.Dedup.embeddingNearDups(e, bitsPerTable = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // An 8-bit table is the concatenation of two 4-bit tables, so an
+    // 8-bit collision implies both 4-bit collisions: candidates (and the
+    // verified result) can only shrink as bits rise.
+    assert(coarse.subsetOf(fine), s"8-bit result not a subset: ${coarse -- fine}")
+    assert(fine.nonEmpty)
+  }
+
   test("embedding near-dup (LSH-bucketed q54): subset of exact, recall pinned") {
     val exact = exactNeardupAllPairs
       .select("id1", "id2").as[(Long, Long)].collect().toSet
