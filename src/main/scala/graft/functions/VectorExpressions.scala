@@ -41,6 +41,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_bands", (children: Seq[Expression]) => MinHashBandsExpr(children(0)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", (children: Seq[Expression]) => SimHashExpr(children(0)),
+      "built-in")
   }
 }
 

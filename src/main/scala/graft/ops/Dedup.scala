@@ -30,12 +30,11 @@ import graft.sources.Tables.t
 object Dedup {
   private val P: Long = 2147483647L // 2^31-1, Mersenne prime hash modulus
 
-  /** Per-row distinct word-3-gram shingle ARRAY — the shared kernel of
-    * [[shingles]] and [[shingleSets]]. Distinctness is per document, so it
-    * is computed with `array_distinct` inside the row (codegen'd, free)
-    * instead of a corpus-wide `distinct()` — which round 3 paid as a full
-    * (doc, shingle) shuffle in every Jaccard-family query. Same rows out,
-    * one shuffle fewer in.
+  /** Per-row distinct word-3-gram shingle ARRAY — [[shingles]]'s kernel.
+    * Distinctness is per document, so it is computed with `array_distinct`
+    * inside the row (codegen'd, free) instead of a corpus-wide
+    * `distinct()` — which round 3 paid as a full (doc, shingle) shuffle in
+    * every Jaccard-family query. Same rows out, one shuffle fewer in.
     *
     * Documents under 3 tokens yield no shingles — guarded with IF, because
     * Spark's sequence(1, 0) is the DESCENDING [1, 0] (not empty like
@@ -72,27 +71,6 @@ object Dedup {
     }
   }
 
-  /** Per-document sorted shingle-set arrays `(doc_id, set, n)`, n ≥ 1 —
-    * documents with no shingles are dropped (they cannot be near-dups;
-    * matches the inverted-index formulations, where such docs simply have
-    * no rows). Uncapped, this is a PURE PER-ROW map over the corpus scan —
-    * zero shuffles: the set array is built, deduped, and sorted inside the
-    * row. With the df-cap the corpus-wide document frequencies force one
-    * aggregation over [[shingles]] first.
-    */
-  private[graft] def shingleSets(docs: DataFrame, maxDf: Option[Long] = None): DataFrame =
-    maxDf match {
-      case None =>
-        docs.withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), sort_array(expr(shingleArr)).as("set"))
-          .withColumn("n", size(col("set")).cast("long"))
-          .filter(col("n") > 0)
-      case Some(_) =>
-        shingles(docs, maxDf).groupBy(col("doc_id"))
-          .agg(sort_array(collect_list(col("shingle"))).as("set"),
-            count(lit(1)).as("n"))
-    }
-
   /** Exact dedup: group by content hash (md5 — stable across engines),
     * keep the lowest doc_id deterministically. `dropDuplicates` keeps an
     * arbitrary row; min-per-group is the reproducible form. One shuffle on
@@ -116,18 +94,46 @@ object Dedup {
   def q51DedupJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardNearDups(t(s, dir, "documents"))
 
+  /** One row per distinct (doc, shingle HASH) — the hashed counterpart of
+    * [[shingles]], built per-row by the codegen'd
+    * [[graft.functions.ShingleHashesExpr]] so the shuffled join key is an
+    * 8-byte long instead of a ~3-word string. Document frequencies,
+    * co-occurrence counts, and set sizes on the hashes equal the
+    * string-shingle values modulo 64-bit collisions (~n²/2⁶⁴ per document
+    * — negligible; see [[hashedShingleSets]]). The df-cap drops hot
+    * HASHES via the same broadcast anti-join posture as [[shingles]].
+    */
+  private[graft] def hashedShingles(docs: DataFrame, maxDf: Option[Long] = None): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val base = docs.select(col("doc_id"),
+      explode(expr("graft_shingle_hashes(split(text, ' '))")).as("h"))
+    maxDf.fold(base) { cap =>
+      val hot = base.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select(col("h"))
+      base.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+  }
+
   /** Library form of q51: near-dup pairs over any (doc_id, text) frame,
     * with the optional hot-shingle df-cap (see [[shingles]]) and the
     * cache-lifecycle contract (see [[StorageHandle]] — call
     * `handle.release()` once the result is materialized).
+    *
+    * Round 4: the inverted index runs on HASHED shingles — the self-join
+    * shuffles and compares 8-byte longs instead of shingle strings
+    * (identical counts modulo 64-bit collisions, which the string-based
+    * DuckDB oracle would catch; same trade as [[minhashNearDups]]'s
+    * verify). The string formulation remains in [[shingles]] /
+    * [[q51Pairs]] as the oracle-side definition.
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
                       handle: StorageHandle = new StorageHandle): DataFrame = {
-    val sh = handle.pin(shingles(docs, maxShingleDf))
+    val sh = handle.pin(hashedShingles(docs, maxShingleDf))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
     common
@@ -185,10 +191,12 @@ object Dedup {
   private[graft] def minhashAB: Array[(Long, Long)] = graft.functions.MinHashSigExpr.AB
 
   /** Per-document sorted distinct HASHED shingle arrays `(doc_id, hs, n)`,
-    * n ≥ 1 — the 64-bit-hash counterpart of [[shingleSets]], built by the
-    * codegen'd [[graft.functions.ShingleHashesExpr]] entirely inside the
-    * corpus scan (zero shuffles uncapped; the strings never leave the
-    * row). Set size, intersection, and document frequency on the hashes
+    * n ≥ 1 — documents with no shingles are dropped (they cannot be
+    * near-dups; matches the inverted-index formulations, where such docs
+    * simply have no rows). Built by the codegen'd
+    * [[graft.functions.ShingleHashesExpr]] entirely inside the corpus
+    * scan (zero shuffles uncapped; the strings never leave the row). Set
+    * size, intersection, and document frequency on the hashes
     * equal the string-shingle values modulo 64-bit collisions (~n²/2⁶⁴
     * per document — negligible at any real document size; the standard
     * large-scale MinHash trade). With the df-cap, hot HASHES are removed
@@ -272,19 +280,15 @@ object Dedup {
     */
   private val SimhashBits = 60 // 15 md5 hex chars; fits a signed 64-bit long
   def q53Simhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = t(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"),
-        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
-      .agg(count(lit(1)).as("w"))
-    val bitCols = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")
-    }
-    val sigs = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
-      .cache()
+    graft.functions.VectorExpressions.register(s)
+    // Per-row signature ([[graft.functions.SimHashExpr]] — a bit-exact
+    // replica of the grouped SQL formulation, DedupSpec-pinned): the
+    // corpus scan emits (doc_id, simhash) directly, replacing round 3's
+    // two token-carrying shuffles (explode → groupBy(doc, h) → 60-column
+    // groupBy(doc)); the only shuffle left is the pigeonhole chunk join
+    // on scalar keys.
+    val sigs = t(s, dir, "documents")
+      .select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767)")).as(Seq("chunk", "cval")))
     chunks.as("x")
@@ -441,12 +445,19 @@ object Dedup {
   def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6,
                             handle: StorageHandle = new StorageHandle): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(docs)
-    // Per-doc sorted shingle-set arrays: one row per doc, built per-row
-    // (zero shuffles — see [[shingleSets]]), reused by the prefix index
-    // AND the verify (docs are bounded, so the array is too).
-    val sets = handle.pin(shingleSets(docs))
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // Hashed shingles throughout (round 4, same trade as
+    // [[jaccardNearDups]]): the df join, the rank window, and the
+    // candidate self-join all move 8-byte longs. The rare-first global
+    // order becomes (df asc, HASH asc) — the prefix-filter guarantee
+    // holds for ANY fixed total order on the shingle universe, so the
+    // candidate superset property (and the exact-verified result) is
+    // unchanged.
+    val sh = hashedShingles(docs)
+    // Per-doc sorted hashed-set arrays: one row per doc, built per-row
+    // (zero shuffles — see [[hashedShingleSets]]), reused by the prefix
+    // index AND the verify (docs are bounded, so the array is too).
+    val sets = handle.pin(hashedShingleSets(docs))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // ⌈t·n⌉ with an epsilon guard: plain ceil(t*n) in doubles can exceed
     // the exact rational ⌈t·n⌉ when t·n rounds up past an integer (e.g.
     // t = 0.1, n = 10 → 1.0000000000000002 → ceil 2), which would SHORTEN
@@ -455,19 +466,19 @@ object Dedup {
     // 1/n for any real document errs the other way only: at worst one
     // extra prefix shingle / candidate, which the exact verify removes.
     def ceilTn(n: Column): Column = ceil(lit(threshold) * n - lit(1e-9))
-    // Rare-first global order (df asc, shingle asc for determinism);
+    // Rare-first global order (df asc, hash asc for determinism);
     // per-doc rank, keep the first n - ceil(t*n) + 1. Pinned: both sides
     // of the candidate self-join read it (uncached, the whole upstream
     // chain would compute twice).
-    val prefix = handle.pin(sh.join(dfreq, "shingle")
+    val prefix = handle.pin(sh.join(dfreq, "h")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("shingle").asc)))
+        Window.partitionBy(col("doc_id")).orderBy(col("df").asc, col("h").asc)))
       .join(sets.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("rk") <= col("n") - ceilTn(col("n")) + 1)
-      .select(col("doc_id"), col("shingle"), col("n")))
+      .select(col("doc_id"), col("h"), col("n")))
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") >= ceilTn(col("a.n")) &&
           col("b.n") * lit(threshold) <= col("a.n") + lit(1e-9))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -479,7 +490,7 @@ object Dedup {
       .join(sets.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("s1.set"), col("s2.set"))).cast("long").as("c"),
+        size(array_intersect(col("s1.hs"), col("s2.hs"))).cast("long").as("c"),
         col("s1.n").as("n1"), col("s2.n").as("n2"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))

@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
     assert(fused.exceptAll(sql).isEmpty && sql.exceptAll(fused).isEmpty)
   }
 
+  test("graft_simhash equals the grouped md5-bitsum SQL formulation") {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+    val fast = docs.select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("simhash"))
+    // Round-3 reference formulation: explode tokens, group by md5-derived
+    // 60-bit hash with multiplicities, 60 signed bit sums, assemble bits.
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"),
+        expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .agg(count(lit(1)).as("w"))
+    val bitCols = (0 until 60).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as(s"s$i")
+    }
+    val ref = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(i => when(col(s"s$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+            a.bitwiseOR(b)).as("simhash"))
+    assert(fast.exceptAll(ref).isEmpty && ref.exceptAll(fast).isEmpty)
+  }
+
   test("simhash: identical text yields identical signature, near-dups land within radius") {
     val pairs = ops.Dedup.q53Simhash(spark, sfDir)
       .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
