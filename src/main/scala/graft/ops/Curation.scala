@@ -514,6 +514,126 @@ object Curation {
        SELECT doc_id, cluster_id, keeper_id, doc_id = keeper_id AS keep, ttr
        FROM ranked ORDER BY doc_id"""
 
+  /** Token-budget mixture selection (the "data mixing" step): per source,
+    * keep the highest-quality documents until a token budget is spent —
+    * greedy by (ttr desc, doc_id asc), a document is selected iff the
+    * tokens of strictly-better documents in its source fit under the
+    * budget. Emits the full per-document verdict (selected + the exact
+    * cumulative position), which is what a mixture report needs.
+    *
+    * Scale shape — the same problem q75 solved for doc_id order, now for
+    * QUALITY order: a naive `SUM() OVER (PARTITION BY source ORDER BY
+    * ttr DESC)` makes one sequential window partition per source (a
+    * handful of threads forever). Instead the prefix sum is two-phase
+    * over quality BUCKETS (floor(ttr·1000) — a pure coarsening of the
+    * order, so greedy semantics are unchanged): per-(source, bucket)
+    * token sums aggregate in parallel, the running offset runs over the
+    * tiny bucket table and broadcasts back, and the only per-document
+    * window partitions by (source, bucket) — bounded by bucket
+    * occupancy, never by source size. The oracle states the naive single
+    * window; the hash match proves the two formulations identical.
+    */
+  def q88MixtureSelect(s: SparkSession, dir: String): DataFrame = {
+    val budget = 4096L
+    val d = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+      .withColumn("qb", floor(col("ttr") * 1000).cast("long"))
+    val offsets = d.groupBy(col("source"), col("qb"))
+      .agg(sum(col("n_tokens")).as("b_toks"))
+      .select(col("source").as("o_src"), col("qb").as("o_qb"),
+        coalesce(sum(col("b_toks")).over(
+          Window.partitionBy(col("source")).orderBy(col("qb").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("b_off"))
+    d.join(broadcast(offsets), col("source") === col("o_src") && col("qb") === col("o_qb"))
+      .withColumn("cum_before",
+        col("b_off") + coalesce(sum(col("n_tokens")).over(
+          Window.partitionBy(col("source"), col("qb"))
+            .orderBy(col("ttr").desc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_before"),
+        (col("cum_before") < budget).as("selected"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Oracle: the naive per-source single-window greedy — algebraically
+    * identical to the two-phase bucket formulation.
+    */
+  val q88Sql: String =
+    """WITH d AS (SELECT doc_id, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) AS ttr
+         FROM documents),
+       c AS (SELECT doc_id, source, n_tokens,
+                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+                  ORDER BY ttr DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+             FROM d)
+       SELECT source, doc_id, n_tokens, cum_before, cum_before < 4096 AS selected
+       FROM c ORDER BY source, doc_id"""
+
+  /** Corpus-level chunk dedup with reconstruction (the C4/CCNet
+    * line-dedup shape, over fixed 16-token chunks since this corpus has
+    * no sentence delimiters): every repeated chunk keeps its FIRST
+    * occurrence (min (doc_id, position)) and is dropped everywhere else —
+    * the standard boilerplate-removal pass. Per document: total chunks,
+    * kept chunks, and the md5 of the retained (position-ordered) text, so
+    * the oracle verifies the exact reconstructed bytes without shipping
+    * them.
+    *
+    * Scale shape: chunking is per-row; the keeper election groups by the
+    * chunk's md5 (32-hex key, not the chunk text) with a partial-
+    * aggregated min(struct(doc_id, pos)); the verdict joins back on that
+    * hash; the only text-carrying shuffle is the per-document
+    * reconstruction aggregate — bounded by document size, exactly like
+    * q83's shard build.
+    */
+  def q89ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val C = 16
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $C.0) AS INT) - 1),
+              i -> concat_ws(' ', slice(toks, i * $C + 1, $C)))"""))
+        .as(Seq("pos", "chunk")))
+      .withColumn("ch", md5(col("chunk").cast("binary")))
+    val keepers = chunks.groupBy(col("ch"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("ch"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    chunks.join(keepers, Seq("ch"))
+      .withColumn("kept", col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        md5(expr(
+          "CAST(concat_ws(' ', transform(array_sort(collect_list(IF(kept, struct(pos, chunk), NULL))), e -> e.chunk)) AS BINARY)"))
+          .as("retained_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same 16-token chunking (DuckDB's inclusive 1-based list
+    * slice clips at the end exactly like Spark's slice), first-occurrence
+    * keeper via a (doc_id, pos) window, same position-ordered
+    * reconstruction (COALESCE to '' so fully-deduped documents md5 the
+    * empty string in both engines).
+    */
+  val q89Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       chunks AS (SELECT doc_id, i AS pos,
+                array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk
+           FROM d, UNNEST(generate_series(0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS g(i)),
+       k AS (SELECT doc_id, pos, chunk,
+                ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+             FROM chunks)
+       SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), ''))
+                AS retained_md5
+       FROM k GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_dup_clusters" -> (q73DupClusters _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
@@ -522,7 +642,9 @@ object Curation {
     "q77_repetition" -> (q77Repetition _),
     "q80_split_assign" -> (q80SplitAssign _),
     "q83_shard_text" -> (q83ShardText _),
-    "q86_cluster_keeper" -> (q86ClusterKeeper _))
+    "q86_cluster_keeper" -> (q86ClusterKeeper _),
+    "q88_mixture_select" -> (q88MixtureSelect _),
+    "q89_chunk_dedup" -> (q89ChunkDedup _))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
@@ -532,5 +654,7 @@ object Curation {
     "q77_repetition" -> q77Sql,
     "q80_split_assign" -> q80Sql,
     "q83_shard_text" -> q83Sql,
-    "q86_cluster_keeper" -> q86Sql)
+    "q86_cluster_keeper" -> q86Sql,
+    "q88_mixture_select" -> q88Sql,
+    "q89_chunk_dedup" -> q89Sql)
 }
