@@ -33,7 +33,8 @@ object SparkEntry {
       ops.TextAnalysis.queries ++
       ops.Vectors2.queries ++
       ops.Multimodal.queries ++
-      ops.Curation.queries
+      ops.Curation.queries ++
+      ops.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       ops.TextAnalysis.oracle ++
       ops.Vectors2.oracle ++
       ops.Multimodal.oracle ++
-      ops.Curation.oracle
+      ops.Curation.oracle ++
+      ops.Pipeline.oracle
 }

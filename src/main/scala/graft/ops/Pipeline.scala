@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Pipeline-composition operators: the curation steps a production
+  * training-data pipeline runs ON TOP of the primitive dedup/quality
+  * signals (north-star extension surface; the reference has nothing
+  * comparable — its dataflow ends at a top-5 count,
+  * SparkApplication.scala:57-95).
+  *
+  *   - containment (sub-document) dedup                     → q90
+  *   - contamination fraction scoring                       → q91
+  *   - multi-stage quality funnel report                    → q92
+  *   - train/test split leakage detection                   → q93
+  *   - incremental batch-vs-corpus dedup                    → q94
+  *
+  * Scale design: every operator reuses the inverted-index / hashed-shingle
+  * formulations from [[Dedup]] (no O(n²) anywhere), and the composition
+  * layers are joins/aggregates on ids and counts — never on text.
+  */
+object Pipeline {
+
+  /** Directed containment pairs: C = |A∩B| / min(|A|,|B|) over word-3-gram
+    * shingle sets. Catches the sub-document duplicates Jaccard misses —
+    * a short doc fully embedded in a long one has J = |A|/|B| (small) but
+    * C = 1.0. This is the standard complement to Jaccard dedup for
+    * boilerplate-wrapped copies (same inverted-index shape as
+    * [[Dedup.jaccardNearDups]]: candidates only for co-shingled pairs,
+    * count-proportional verify, one shuffle on an 8-byte hash).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+                       handle: StorageHandle = new StorageHandle): DataFrame = {
+    val sh = handle.pin(Dedup.hashedShingles(docs))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"), col("s1.n").as("n1"), col("s2.n").as("n2"),
+        (col("c").cast("double") / least(col("s1.n"), col("s2.n"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def q90ContainmentDedup(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(t(s, dir, "documents"))
+
+  val q90Sql: String =
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id1, id2, s1.n AS n1, s2.n AS n2,
+              c * 1.0 / LEAST(s1.n, s2.n) AS containment
+       FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       WHERE c * 1.0 / LEAST(s1.n, s2.n) >= 0.9
+       ORDER BY id1, id2"""
+
+  /** Contamination FRACTION (q76 upgraded from a binary hit to a score):
+    * per train document, the share of its distinct 5-gram shingles that
+    * appear in any eval document, flagged at ≥ 5%. This is the graded
+    * decontamination verdict real pipelines threshold on (a single shared
+    * shingle is noise; 5% overlap is a leak). Same broadcast shape and
+    * validity caveat as q76: the eval side is a fixed-size benchmark, so
+    * its shingle set broadcasts; the corpus streams through map-side.
+    */
+  def q91ContaminationFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh5 = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(IF(size(toks) >= 5,
+              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
+              array()))"""))
+        .as("shingle"))
+    val evalSh = sh5.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
+    val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
+    val perDoc = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"), 6))
+          .as("contam_frac"))
+      .withColumn("flagged", col("contam_frac") >= 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                    UNNEST(generate_series(1, greatest(len(toks)-4, 0))) AS t(i)),
+       ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+       per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh
+                   WHERE doc_id % 97 <> 0 GROUP BY 1),
+       hits AS (SELECT doc_id, COUNT(*) AS n_hit
+                FROM sh JOIN ev USING (shingle) WHERE doc_id % 97 <> 0 GROUP BY 1)
+       SELECT d.doc_id,
+              COALESCE(p.n_shingles, 0) AS n_shingles,
+              COALESCE(h.n_hit, 0) AS n_hit,
+              CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 0.0
+                   ELSE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / p.n_shingles, 6)
+              END AS contam_frac,
+              CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN FALSE
+                   ELSE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / p.n_shingles, 6) >= 0.05
+              END AS flagged
+       FROM documents d
+       LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+       LEFT JOIN hits h ON d.doc_id = h.doc_id
+       WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"""
+
+  /** Multi-stage quality funnel: the per-source survival report every
+    * curation run publishes — how many documents pass each CUMULATIVE
+    * stage (length → type-token ratio → repetition → exact-dedup
+    * canonical). Composes q61/q77/q50's signals as per-row expressions plus
+    * one window over the content hash; the report itself is a conditional
+    * aggregate, so the whole funnel is two shuffles (hash window + source
+    * rollup) regardless of corpus size. All outputs are integer counts —
+    * bit-exact cross-engine.
+    */
+  def q92QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+      .withColumn("grams", expr(
+        """IF(size(toks) >= 2,
+              transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', slice(toks, i, 2))),
+              array())"""))
+      .withColumn("rep_frac",
+        when(size(col("grams")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("grams"))).cast("double") / size(col("grams"))))
+      .withColumn("canonical",
+        col("doc_id") === min(col("doc_id")).over(
+          Window.partitionBy(md5(col("text").cast("binary")))))
+    val s1 = col("n_tokens") >= 20
+    val s2 = s1 && col("ttr") >= 0.5
+    val s3 = s2 && col("rep_frac") <= 0.55
+    val s4 = s3 && col("canonical")
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_len"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_ttr"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_rep"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_final"))
+      .orderBy(col("source"))
+  }
+
+  val q92Sql: String =
+    """WITH d AS (
+         SELECT source, doc_id, text, string_split(text, ' ') AS toks FROM documents),
+       scored AS (
+         SELECT source, doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+                CASE WHEN len(toks) < 2 THEN 0.0
+                     ELSE 1.0 - CAST(len(list_distinct(
+                              [array_to_string(toks[i:i+1], ' ')
+                               FOR i IN generate_series(1, len(toks) - 1)])) AS DOUBLE)
+                            / (len(toks) - 1)
+                END AS rep_frac,
+                doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+         FROM d)
+       SELECT source,
+              COUNT(*) AS n_total,
+              CAST(SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+              CAST(SUM(CASE WHEN n_tokens >= 20 AND ttr >= 0.5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ttr,
+              CAST(SUM(CASE WHEN n_tokens >= 20 AND ttr >= 0.5 AND rep_frac <= 0.55
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rep,
+              CAST(SUM(CASE WHEN n_tokens >= 20 AND ttr >= 0.5 AND rep_frac <= 0.55
+                            AND canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+       FROM scored GROUP BY source ORDER BY source"""
+
+  /** Train/test split leakage: near-dup pairs (J ≥ 0.6, q51's exact miner)
+    * that STRADDLE the deterministic q80 split — the audit that catches
+    * "my eval doc has a paraphrase in train". Pure composition: the pair
+    * set joins the per-doc split assignment twice (id-keyed broadcast-able
+    * map), so the audit costs two cheap joins on top of the dedup pass a
+    * pipeline already runs.
+    */
+  def q93SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val splits = docs.select(col("doc_id"),
+      when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 80, "train")
+        .when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 90, "val")
+        .otherwise("test").as("split"))
+    Dedup.jaccardNearDups(docs)
+      .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")), Seq("id1"))
+      .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")), Seq("id2"))
+      .filter(col("split1") =!= col("split2"))
+      .select(col("id1"), col("id2"), col("jaccard"), col("split1"), col("split2"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q93Sql: String =
+    s"""WITH pairs AS (SELECT id1, id2, jaccard FROM (${Dedup.q51Pairs})),
+       splits AS (
+         SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      list_reduce([strpos('0123456789abcdef',
+                                    substring(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                                   FOR i IN generate_series(1, 8)]::BIGINT[],
+                                  (a, v) -> a * 16 + v) % 100 AS b
+               FROM documents))
+       SELECT id1, id2, jaccard, s1.split AS split1, s2.split AS split2
+       FROM pairs
+       JOIN splits s1 ON id1 = s1.doc_id JOIN splits s2 ON id2 = s2.doc_id
+       WHERE s1.split <> s2.split ORDER BY id1, id2"""
+
+  /** Incremental corpus update: dedup a NEW batch (sources src10+) against
+    * the EXISTING corpus (src0–src9) without re-pairing the existing side
+    * against itself — the shape of every nightly ingest. Per new document:
+    * how many existing near-dups (J ≥ 0.6), the best match
+    * (argmax jaccard, ties to min existing id), and a novelty verdict.
+    *
+    * Scale shape: the inverted index is built per side and joined
+    * CROSS-BATCH only (the a.existing × b.new predicate cuts the candidate
+    * space before the pair aggregate); in production the existing side's
+    * hashed-shingle index is a persisted table, so a nightly run pays one
+    * index build for the new batch plus one bucket join.
+    */
+  def q94IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("src_num", expr("CAST(substring(source, 4) AS INT)"))
+    val sh = Dedup.hashedShingles(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), (col("src_num") >= 10).as("is_new")), Seq("doc_id"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.filter(!col("is_new")).as("a")
+      .join(sh.filter(col("is_new")).as("b"), col("a.h") === col("b.h"))
+      .groupBy(col("b.doc_id").as("new_id"), col("a.doc_id").as("old_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("old_id") === col("s2.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+    val best = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("new_id")).orderBy(col("jaccard").desc, col("old_id").asc)))
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(when(col("rk") === 1, col("old_id"))).as("best_match_id"),
+        max(when(col("rk") === 1, col("jaccard"))).as("best_jaccard"))
+    docs.filter(col("src_num") >= 10).select(col("doc_id"))
+      .join(best, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("best_match_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        col("n_matches").isNull.as("is_novel"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q94Sql: String =
+    """WITH docs AS (SELECT doc_id, CAST(substring(source, 4) AS INT) >= 10 AS is_new,
+                string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, is_new, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       pairs AS (
+         SELECT b.doc_id AS new_id, a.doc_id AS old_id,
+                COUNT(*) * 1.0 / (s1.n + s2.n - COUNT(*)) AS jaccard
+         FROM sh a JOIN sh b USING (shingle)
+         JOIN sizes s1 ON b.doc_id = s1.doc_id
+         JOIN sizes s2 ON a.doc_id = s2.doc_id
+         WHERE NOT a.is_new AND b.is_new
+         GROUP BY 1, 2, s1.n, s2.n
+         HAVING COUNT(*) * 1.0 / (s1.n + s2.n - COUNT(*)) >= 0.6),
+       best AS (
+         SELECT new_id, COUNT(*) AS n_matches,
+                MAX(CASE WHEN rk = 1 THEN old_id END) AS best_match_id,
+                MAX(CASE WHEN rk = 1 THEN jaccard END) AS best_jaccard
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+                         ORDER BY jaccard DESC, old_id ASC) AS rk FROM pairs)
+         GROUP BY 1)
+       SELECT d.doc_id,
+              COALESCE(b.n_matches, 0) AS n_matches,
+              COALESCE(b.best_match_id, -1) AS best_match_id,
+              COALESCE(b.best_jaccard, 0.0) AS best_jaccard,
+              b.n_matches IS NULL AS is_novel
+       FROM docs d LEFT JOIN best b ON d.doc_id = b.new_id
+       WHERE d.is_new ORDER BY d.doc_id"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_containment_dedup" -> (q90ContainmentDedup _),
+    "q91_contamination_frac" -> (q91ContaminationFrac _),
+    "q92_quality_funnel" -> (q92QualityFunnel _),
+    "q93_split_leakage" -> (q93SplitLeakage _),
+    "q94_incremental_dedup" -> (q94IncrementalDedup _))
+
+  val oracle: Map[String, String] = Map(
+    "q90_containment_dedup" -> q90Sql,
+    "q91_contamination_frac" -> q91Sql,
+    "q92_quality_funnel" -> q92Sql,
+    "q93_split_leakage" -> q93Sql,
+    "q94_incremental_dedup" -> q94Sql)
+}
