@@ -17,7 +17,13 @@ object Bench {
     // robust to shared-machine noise (runs on this box show ±20-40% ambient
     // variance; round 2's driver bench recorded 2-4× outliers on queries
     // that re-measured clean, so buy extra noise immunity here).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for scaling probes (e.g. the BASELINE.md sf1
+    // runs, which replicate only documents/embeddings); unset = full suite,
+    // which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

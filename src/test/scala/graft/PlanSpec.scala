@@ -162,4 +162,23 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected <=1 user_id exchange, got $exchanges:\n" + p)
   }
+
+  test("pipeline composition queries never degenerate to nested-loop joins") {
+    // q90/q93/q94 compose the inverted-index pair miner with id-keyed
+    // joins; q91/q92 are broadcast/aggregate shapes. The scale invariant
+    // for all five: every join is a hash/merge join on keys.
+    Seq("q90_containment_dedup", "q91_contamination_frac", "q92_quality_funnel",
+      "q93_split_leakage", "q94_incremental_dedup").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q:\n$p")
+    }
+  }
+
+  test("q91 streams the corpus map-side against a broadcast eval shingle set") {
+    val p = plan("q91_contamination_frac")
+    // The train-shingle × eval-shingle join must be the broadcast: the
+    // big side never shuffles on the shingle string.
+    assert("BroadcastHashJoin \\[shingle".r.findFirstIn(p).isDefined, p)
+  }
 }
