@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The on-disk property writeRangeClustered exists for: each output file
+  * covers a pairwise-disjoint cluster-key range (so parquet min/max stats
+  * can skip whole files for range predicates), rows are sorted inside each
+  * file, and the write loses no rows.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("range-clustered write produces disjoint, internally-sorted files") {
+    val dir = Files.createTempDirectory("layout").toString + "/lineitem"
+    val src = graft.sources.Tables.t(spark, sfDir, "lineitem")
+    ops.Layout.writeRangeClustered(src, dir, 8, "l_orderkey", "l_linenumber")
+
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size > 1, s"expected multiple files, got $files")
+
+    // Per-file min/max of the cluster key; ranges must not overlap.
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1, _), (lo2, _, _)) =>
+        assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+
+    // Internally sorted by (cluster key, secondary sort col).
+    files.foreach { f =>
+      val keys = spark.read.parquet(f)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(keys == keys.sorted, s"file $f not sorted")
+    }
+
+    // Lossless.
+    val n = spark.read.parquet(dir).count()
+    assert(n == src.count())
+  }
+
+  test("narrow range predicate on clustered layout reads fewer rows than files hold") {
+    val dir = Files.createTempDirectory("layout").toString + "/orders"
+    val src = graft.sources.Tables.t(spark, sfDir, "orders")
+    ops.Layout.writeRangeClustered(src, dir, 8, "o_orderkey")
+    val probe = spark.read.parquet(dir).filter(col("o_orderkey") <= 10)
+    probe.collect()
+    // Pushed filter + clustered row groups: the scan's output rows after
+    // pushdown must be far below the table size (row-group stats skip).
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+    assert(scanned < src.count() / 2, s"scan did not skip: $scanned rows")
+  }
+}

@@ -139,6 +139,16 @@ class ScaleTechniquesSpec extends SparkSpec {
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
     assert(r == 11.0)
+    // Every custom expression must be reachable from pure SQL — a function
+    // present in register() but missing from GraftExtensions would pass
+    // here yet break spark.sql.extensions users (and vice versa).
+    Seq("graft_lsh_buckets(array(1.0D))",
+      "graft_shingle_hashes(array('a','b','c','d'))",
+      "graft_minhash_sig(graft_shingle_hashes(array('a','b','c','d')))",
+      "graft_minhash_bands(graft_shingle_hashes(array('a','b','c','d')))",
+      "graft_simhash(array('a','b'))").foreach { call =>
+      assert(spark.sql(s"SELECT $call AS v").collect().length == 1, call)
+    }
   }
 
   test("salted join returns exactly the plain join result (semantics preserved)") {
