@@ -297,17 +297,147 @@ object Pipeline {
        FROM docs d LEFT JOIN best b ON d.doc_id = b.new_id
        WHERE d.is_new ORDER BY d.doc_id"""
 
+  /** End-to-end curation manifest — the capstone composition: ONE DataFrame
+    * DAG that runs the whole curation pipeline over a corpus and emits the
+    * per-document audit row real pipelines persist next to the data:
+    *
+    *   exact dedup (md5 canonical) → near-dup cluster keeper (MinHash-mined
+    *   edges + pointer-doubling components + quality argmax) → quality gate
+    *   (length + TTR) → benchmark decontamination → split assignment →
+    *   `selected` verdict.
+    *
+    * Every stage is the library operator it names (q50/q86/q92/q76/q80
+    * semantics respectively) — this query exists to prove they COMPOSE: one
+    * `documents` scan fans out to five branches that rejoin on doc_id, so
+    * Catalyst shares the scan and each stage's shuffle key is the one its
+    * operator already needed. At 100 TB the manifest is exactly this plan
+    * plus a [[Layout.writeRangeClustered]] of the result by doc_id.
+    */
+  def q95CurationManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val exact = docs.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text").cast("binary"))))).as("exact_canonical"))
+    val pairs = Dedup.minhashNearDups(docs).select(col("id1"), col("id2"))
+    val quality = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+    val keeper = Curation.connectedComponents(docs.select(col("doc_id")), pairs)
+      .join(quality.select(col("doc_id"), col("ttr")), "doc_id")
+      .withColumn("keeper_id", first(col("doc_id")).over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("ttr").desc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
+    val sh5 = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(IF(size(toks) >= 5,
+              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
+              array()))"""))
+        .as("shingle"))
+    val contam = sh5.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(sh5.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()),
+        Seq("shingle"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(true))
+    val splits = docs.select(col("doc_id"),
+      when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 80, "train")
+        .when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 90, "val")
+        .otherwise("test").as("split"))
+    docs.select(col("doc_id"))
+      .join(exact, "doc_id")
+      .join(keeper, "doc_id")
+      .join(quality, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .join(splits, "doc_id")
+      .withColumn("quality_ok", col("n_tokens") >= 20 && col("ttr") >= 0.5)
+      .withColumn("contaminated", coalesce(col("hit"), lit(false)))
+      .withColumn("is_eval", col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("exact_canonical"), col("is_keeper"),
+        col("quality_ok"), col("contaminated"), col("is_eval"), col("split"),
+        (col("exact_canonical") && col("is_keeper") && col("quality_ok") &&
+          !col("contaminated") && !col("is_eval")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the literal SQL composition of the five stage oracles —
+    * q86Sql's recursive transitive closure + keeper argmax, q50's md5
+    * canonical window, q92's length/TTR gate, q76's contamination
+    * semi-join, q80's md5 bucket split.
+    */
+  val q95Sql: String =
+    s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM (${Dedup.q51Pairs})),
+       edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL SELECT id2, id1 FROM pairs),
+       reach AS (SELECT src AS v, dst AS u FROM edges
+                 UNION
+                 SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src),
+       clusters AS (
+         SELECT d.doc_id,
+                CAST(LEAST(d.doc_id, COALESCE(MIN(r.u), d.doc_id)) AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN reach r ON d.doc_id = r.v GROUP BY d.doc_id),
+       q AS (SELECT doc_id,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')) AS ttr
+             FROM documents),
+       ranked AS (
+         SELECT c.doc_id,
+                FIRST_VALUE(c.doc_id) OVER (PARTITION BY c.cluster_id
+                  ORDER BY q.ttr DESC, c.doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id
+         FROM clusters c JOIN q USING (doc_id)),
+       exact AS (SELECT doc_id,
+                        doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS exact_canonical
+                 FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                   UNNEST(generate_series(1, greatest(len(toks)-4, 0))) AS t(i)),
+       contam AS (SELECT DISTINCT tr.doc_id
+                  FROM sh tr JOIN sh ev USING (shingle)
+                  WHERE tr.doc_id % 97 <> 0 AND ev.doc_id % 97 = 0),
+       splits AS (
+         SELECT doc_id,
+                CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                      list_reduce([strpos('0123456789abcdef',
+                                    substring(md5('split:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                                   FOR i IN generate_series(1, 8)]::BIGINT[],
+                                  (a, v) -> a * 16 + v) % 100 AS b
+               FROM documents))
+       SELECT d.doc_id, e.exact_canonical,
+              r.doc_id = r.keeper_id AS is_keeper,
+              q.n_tokens >= 20 AND q.ttr >= 0.5 AS quality_ok,
+              c.doc_id IS NOT NULL AS contaminated,
+              d.doc_id % 97 = 0 AS is_eval,
+              s.split,
+              e.exact_canonical AND r.doc_id = r.keeper_id
+                AND q.n_tokens >= 20 AND q.ttr >= 0.5
+                AND c.doc_id IS NULL AND d.doc_id % 97 <> 0 AS selected
+       FROM documents d
+       JOIN exact e USING (doc_id)
+       JOIN ranked r USING (doc_id)
+       JOIN q USING (doc_id)
+       LEFT JOIN contam c ON d.doc_id = c.doc_id
+       JOIN splits s USING (doc_id)
+       ORDER BY d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_containment_dedup" -> (q90ContainmentDedup _),
     "q91_contamination_frac" -> (q91ContaminationFrac _),
     "q92_quality_funnel" -> (q92QualityFunnel _),
     "q93_split_leakage" -> (q93SplitLeakage _),
-    "q94_incremental_dedup" -> (q94IncrementalDedup _))
+    "q94_incremental_dedup" -> (q94IncrementalDedup _),
+    "q95_curation_manifest" -> (q95CurationManifest _))
 
   val oracle: Map[String, String] = Map(
     "q90_containment_dedup" -> q90Sql,
     "q91_contamination_frac" -> q91Sql,
     "q92_quality_funnel" -> q92Sql,
     "q93_split_leakage" -> q93Sql,
-    "q94_incremental_dedup" -> q94Sql)
+    "q94_incremental_dedup" -> q94Sql,
+    "q95_curation_manifest" -> q95Sql)
 }
