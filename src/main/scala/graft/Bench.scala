@@ -38,11 +38,14 @@ object Bench {
       }
       name -> times.min
     }.toMap
-    // 3-decimal rounding keeps the whole metric line under ~2 KB: the driver
-    // captures only a bounded tail of stdout, and full-precision doubles for
-    // 70+ queries overflow it, truncating the line start and failing its parse.
+    // The driver's stdout capture is bounded (~2.5 KB observed: round 3's
+    // 85-query line lost its last 7 entries). Two size controls keep the
+    // whole line inside it at 95+ queries: 3-decimal rounding, and keys
+    // shortened to the unambiguous "qNN" prefix (full names live in
+    // SparkEntry.queries / BASELINE.md).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
