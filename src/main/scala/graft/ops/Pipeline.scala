@@ -425,13 +425,94 @@ object Pipeline {
        JOIN splits s USING (doc_id)
        ORDER BY d.doc_id"""
 
+  /** Dup-pair FEATURE table — the input a learned dedup/reranker model
+    * trains on: for every candidate pair (co-shingled, J ≥ 0.3 — a lower
+    * bar than the q51 verdict threshold, because a classifier wants the
+    * gray zone), four similarity signals:
+    *
+    *   jaccard      — 3-gram set overlap (q51's measure)
+    *   containment  — overlap / smaller set (q90's measure)
+    *   len_ratio    — token-count ratio min/max (cheap length prior)
+    *   hamming      — 60-bit SimHash distance (q53's measure)
+    *
+    * Scale shape: candidates come from the same hashed inverted index as
+    * q51 (never all-pairs); the three per-doc signal frames (set size,
+    * token count, SimHash signature) are narrow id-keyed tables computed
+    * in one pass each and joined back per side. SimHash signatures are the
+    * codegen'd [[graft.functions.SimHashExpr]]; the oracle rebuilds them
+    * from md5-derived token hashes bit-identically (q53's construction).
+    */
+  def q96PairFeatures(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.functions.VectorExpressions.register(s)
+    val sh = Dedup.hashedShingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val meta = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      expr("graft_simhash(split(text, ' '))").as("sig"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
+      .join(meta.as("m1"), col("id1") === col("m1.doc_id"))
+      .join(meta.as("m2"), col("id2") === col("m2.doc_id"))
+      .select(col("id1"), col("id2"),
+        (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"),
+        (col("c").cast("double") / least(col("s1.n"), col("s2.n"))).as("containment"),
+        (least(col("m1.n_tokens"), col("m2.n_tokens")).cast("double") /
+          greatest(col("m1.n_tokens"), col("m2.n_tokens"))).as("len_ratio"),
+        expr("CAST(bit_count(m1.sig ^ m2.sig) AS BIGINT)").as("hamming"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val q96Sql: String = {
+    // 60-bit signatures (15 md5 hex chars) — q53's exact construction.
+    val bitSums = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i").mkString(", ")
+    val sigBits = (0 until 60)
+      .map(i => s"CASE WHEN s$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+              FROM docs, UNNEST(generate_series(1, greatest(len(toks)-2, 0))) AS t(i)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM docs),
+       tokh AS (
+         SELECT doc_id,
+                list_reduce([strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1
+                             FOR i IN generate_series(1, 15)]::BIGINT[],
+                            (a, v) -> a * 16 + v) AS h,
+                COUNT(*) AS w
+         FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+         GROUP BY 1, 2),
+       bitsums AS (SELECT doc_id, $bitSums FROM tokh GROUP BY doc_id),
+       sigs AS (SELECT doc_id, CAST($sigBits AS BIGINT) AS sig FROM bitsums),
+       common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+                  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       SELECT id1, id2,
+              c * 1.0 / (s1.n + s2.n - c) AS jaccard,
+              c * 1.0 / LEAST(s1.n, s2.n) AS containment,
+              CAST(LEAST(t1.n_tokens, t2.n_tokens) AS DOUBLE)
+                / GREATEST(t1.n_tokens, t2.n_tokens) AS len_ratio,
+              CAST(bit_count(xor(g1.sig, g2.sig)) AS BIGINT) AS hamming
+       FROM common
+       JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+       JOIN ntok t1 ON id1 = t1.doc_id JOIN ntok t2 ON id2 = t2.doc_id
+       JOIN sigs g1 ON id1 = g1.doc_id JOIN sigs g2 ON id2 = g2.doc_id
+       WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.3
+       ORDER BY id1, id2"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_containment_dedup" -> (q90ContainmentDedup _),
     "q91_contamination_frac" -> (q91ContaminationFrac _),
     "q92_quality_funnel" -> (q92QualityFunnel _),
     "q93_split_leakage" -> (q93SplitLeakage _),
     "q94_incremental_dedup" -> (q94IncrementalDedup _),
-    "q95_curation_manifest" -> (q95CurationManifest _))
+    "q95_curation_manifest" -> (q95CurationManifest _),
+    "q96_pair_features" -> (q96PairFeatures _))
 
   val oracle: Map[String, String] = Map(
     "q90_containment_dedup" -> q90Sql,
@@ -439,5 +520,6 @@ object Pipeline {
     "q92_quality_funnel" -> q92Sql,
     "q93_split_leakage" -> q93Sql,
     "q94_incremental_dedup" -> q94Sql,
-    "q95_curation_manifest" -> q95Sql)
+    "q95_curation_manifest" -> q95Sql,
+    "q96_pair_features" -> q96Sql)
 }

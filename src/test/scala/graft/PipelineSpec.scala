@@ -63,6 +63,24 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("pair features are internally consistent and cover the q51 verdict set") {
+    val feats = ops.Pipeline.q96PairFeatures(spark, sfDir)
+      .select("id1", "id2", "jaccard", "containment", "len_ratio", "hamming")
+      .as[(Long, Long, Double, Double, Double, Long)].collect()
+    assert(feats.nonEmpty)
+    feats.foreach { case (_, _, j, c, lr, h) =>
+      assert(c >= j, "containment can never be below jaccard")
+      assert(j >= 0.3 && c <= 1.0)
+      assert(lr > 0.0 && lr <= 1.0)
+      assert(h >= 0 && h <= 60)
+    }
+    // The q51 verdict pairs (J >= 0.6) are a subset of the feature table.
+    val featPairs = feats.map(f => (f._1, f._2)).toSet
+    val verdicts = ops.Dedup.q51DedupJaccard(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verdicts.subsetOf(featPairs))
+  }
+
   test("split leakage pairs straddle splits and are a subset of q51 pairs") {
     val leak = ops.Pipeline.q93SplitLeakage(spark, sfDir)
     val all = ops.Dedup.q51DedupJaccard(spark, sfDir)

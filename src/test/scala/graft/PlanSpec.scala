@@ -168,7 +168,8 @@ class PlanSpec extends SparkSpec {
     // joins; q91/q92 are broadcast/aggregate shapes. The scale invariant
     // for all five: every join is a hash/merge join on keys.
     Seq("q90_containment_dedup", "q91_contamination_frac", "q92_quality_funnel",
-      "q93_split_leakage", "q94_incremental_dedup", "q95_curation_manifest").foreach { q =>
+      "q93_split_leakage", "q94_incremental_dedup", "q95_curation_manifest",
+      "q96_pair_features").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q:\n$p")
