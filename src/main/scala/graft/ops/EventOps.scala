@@ -178,17 +178,74 @@ object EventOps {
        FROM numbered GROUP BY user_id, sess_seq
        ORDER BY user_id, sess_start"""
 
+  /** CDC-style snapshot diff: per-user latest state (q48's deterministic
+    * latest-per-key) as of T1 vs as of T2, full-outer joined on the key
+    * and classified `added` / `changed` / `unchanged` (`removed` is
+    * impossible in an append-only log but falls out of the same
+    * expression). This is the nightly "what moved since the last
+    * snapshot" report. Scale shape: one window shuffle per snapshot on
+    * user_id, then the full-outer join reuses that same partitioning —
+    * the diff costs no extra exchange over computing the two snapshots.
+    */
+  def q97SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val t1 = "2024-01-15 00:00:00"
+    def snap(asOf: String) = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .filter(col("ts") <= lit(asOf).cast("timestamp"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"))
+    }
+    val oldS = snap(t1).select(col("user_id"), col("event_id").as("old_event_id"))
+    val newS = snap("2024-12-31 00:00:00")
+      .select(col("user_id"), col("event_id").as("new_event_id"))
+    oldS.join(newS, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(col("old_event_id").isNull, "added")
+          .when(col("new_event_id").isNull, "removed")
+          .when(col("old_event_id") =!= col("new_event_id"), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(col("old_event_id"), lit(-1L)).as("old_event_id"),
+        coalesce(col("new_event_id"), lit(-1L)).as("new_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val q97Sql: String =
+    """WITH old_s AS (
+         SELECT user_id, event_id AS old_event_id FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+       new_s AS (
+         SELECT user_id, event_id AS new_event_id FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events WHERE ts <= TIMESTAMP '2024-12-31 00:00:00') WHERE rn = 1)
+       SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+              CASE WHEN o.user_id IS NULL THEN 'added'
+                   WHEN n.user_id IS NULL THEN 'removed'
+                   WHEN o.old_event_id <> n.new_event_id THEN 'changed'
+                   ELSE 'unchanged' END AS change,
+              COALESCE(o.old_event_id, -1) AS old_event_id,
+              COALESCE(n.new_event_id, -1) AS new_event_id
+       FROM old_s o FULL JOIN new_s n ON o.user_id = n.user_id
+       ORDER BY user_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_session_window" -> (q38SessionWindow _),
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_sessionize" -> (q47Sessionize _),
     "q48_latest_per_key" -> (q48LatestPerKey _),
-    "q49_tumbling_window" -> (q49TumblingWindow _))
+    "q49_tumbling_window" -> (q49TumblingWindow _),
+    "q97_snapshot_diff" -> (q97SnapshotDiff _))
 
   val oracle: Map[String, String] = Map(
     "q38_session_window" -> q38Sql,
     "q46_asof_join" -> q46Sql,
     "q47_sessionize" -> q47Sql,
     "q48_latest_per_key" -> q48Sql,
-    "q49_tumbling_window" -> q49Sql)
+    "q49_tumbling_window" -> q49Sql,
+    "q97_snapshot_diff" -> q97Sql)
 }

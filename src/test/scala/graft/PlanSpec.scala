@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 user_id exchange, got $exchanges:\n" + p)
   }
 
+  test("q97 snapshot diff adds no exchange beyond the two snapshot windows") {
+    val p = plan("q97_snapshot_diff")
+    // Each snapshot shuffles once on user_id for its window; the full-outer
+    // join must consume that partitioning, not add a third exchange.
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges <= 2, s"expected <=2 user_id exchanges, got $exchanges:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pipeline composition queries never degenerate to nested-loop joins") {
     // q90/q93/q94 compose the inverted-index pair miner with id-keyed
     // joins; q91/q92 are broadcast/aggregate shapes. The scale invariant
