@@ -93,6 +93,28 @@ class CurationSpec extends SparkSpec {
     assert(byWhich.keySet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("chunk dedup reconstruction: unique doc survives byte-exact, full dup reconstructs empty") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val uniqueText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("chunkdedup").toString
+    Seq(
+      (1L, uniqueText, "en", "src0", uniqueText.length.toLong),
+      (2L, uniqueText, "en", "src1", uniqueText.length.toLong), // full dup of doc 1
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "src2", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = ops.Curation.q89ChunkDedup(spark, dir)
+      .select("doc_id", "n_chunks", "n_kept", "retained_md5")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val Seq(d1, d2, d3) = out.toSeq
+    assert(d1 == ((1L, 3L, 3L, md5hex(uniqueText)))) // 40 toks → 16+16+8 chunks, all kept
+    assert(d2._3 == 0L && d2._4 == md5hex(""))       // every chunk seen first in doc 1
+    assert(d3._3 == d3._2 && d3._4 == md5hex((1 to 20).map(i => s"z$i").mkString(" ")))
+  }
+
   test("token shards match a locally recomputed prefix sum and respect the budget") {
     val rows = ops.Curation.q75TokenShards(spark, sfDir)
       .select("lang", "doc_id", "n_tokens", "shard_id")
