@@ -280,7 +280,56 @@ object TextAnalysis {
        FROM toks JOIN freq USING (tok)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Vocabulary build with coverage — the tokenizer-training prep step:
+    * global token counts, top-100 by frequency (count desc, token asc),
+    * each with its rank and the CUMULATIVE fraction of the corpus the
+    * vocabulary covers up to that rank (the curve that picks vocab size).
+    *
+    * Scale shape: one partial-aggregated count shuffle over tokens; the
+    * corpus-total is a one-row aggregate broadcast into the plan (q64's
+    * no-driver-action idiom); TakeOrderedAndProject cuts to 100 rows
+    * BEFORE the running-sum window, so the only sequential window in the
+    * plan is over ≤ 100 rows regardless of corpus size.
+    */
+  def q98VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+      .withColumn("cum_coverage", round(
+        sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("token").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double") / col("total"), 6))
+      .select(col("rank"), col("token"), col("cnt"), col("cum_coverage"))
+      .orderBy(col("rank"))
+  }
+
+  val q98Sql: String =
+    """WITH c AS (SELECT tok AS token, COUNT(*) AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY 1),
+       total AS (SELECT SUM(cnt) AS total FROM c),
+       top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 100)
+       SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, token, cnt,
+              ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                    / total, 6) AS cum_coverage
+       FROM top, total
+       WINDOW w AS (ORDER BY cnt DESC, token ASC)
+       ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_vocab_coverage" -> (q98VocabCoverage _),
     "q72_rarity_score" -> (q72RarityScore _),
     "q65_char_ngrams" -> (q65CharNgrams _),
     "q67_from_json" -> (q67FromJson _),
@@ -291,6 +340,7 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q98_vocab_coverage" -> q98Sql,
     "q72_rarity_score" -> q72Sql,
     "q65_char_ngrams" -> q65Sql,
     "q67_from_json" -> q67Sql,

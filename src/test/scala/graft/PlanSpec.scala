@@ -163,6 +163,16 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"expected <=1 user_id exchange, got $exchanges:\n" + p)
   }
 
+  test("q98 vocab build cuts to top-100 before its sequential coverage window") {
+    val p = plan("q98_vocab_coverage")
+    // The only single-partition window must run over the already-limited
+    // 100 rows; the corpus side contributes a partial-agg count shuffle
+    // and a TakeOrderedAndProject, never a global sort.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!"(?s)Sort \\[cnt.*global=true".r.findFirstIn(
+      p.split("TakeOrderedAndProject")(0)).isDefined, p)
+  }
+
   test("q97 snapshot diff adds no exchange beyond the two snapshot windows") {
     val p = plan("q97_snapshot_diff")
     // Each snapshot shuffles once on user_id for its window; the full-outer
