@@ -328,7 +328,65 @@ object TextAnalysis {
        WINDOW w AS (ORDER BY cnt DESC, token ASC)
        ORDER BY rank"""
 
+  /** Domain-shift report — per-source KL divergence of the source's token
+    * distribution from the whole-corpus distribution, the standard
+    * diagnostic behind data-mixing weights ("which sources look least like
+    * the mix"). KL(p_src ‖ p_corpus) = Σ_t p·ln(p/q) over the source's
+    * tokens (every source token exists in the corpus, so q > 0 always).
+    *
+    * Determinism: a double Σ over tokens is partition-order-dependent, so
+    * each term is quantized to micro-nats (round(term·1e6) as BIGINT) and
+    * summed EXACTLY — q59's fixed-point idiom — making the metric
+    * bit-identical under any partitioning and across engines (the metric
+    * is defined as the quantized sum; at 1e-6 resolution the quantization
+    * is far below any decision threshold a mixing policy would use).
+    *
+    * Scale shape: one (source, token) partial-agg shuffle; the global
+    * token distribution derives from the SAME aggregate (no second corpus
+    * pass); token-cardinality-sized frames broadcast; corpus total is a
+    * one-row broadcast scalar.
+    */
+  def q99DomainShift(s: SparkSession, dir: String): DataFrame = {
+    val srcCnt = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c_st"))
+    val srcTot = srcCnt.groupBy(col("source")).agg(sum(col("c_st")).as("t_s"))
+    val glbCnt = srcCnt.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val glbTot = srcCnt.agg(sum(col("c_st")).as("t_g"))
+    srcCnt
+      .join(broadcast(glbCnt), "token")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(glbTot))
+      .withColumn("p", col("c_st").cast("double") / col("t_s"))
+      .withColumn("q", col("c_t").cast("double") / col("t_g"))
+      .withColumn("micro_nats",
+        round(col("p") * log(col("p") / col("q")) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        (sum(col("micro_nats")).cast("double") / 1e6).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  val q99Sql: String =
+    """WITH sc AS (SELECT source, tok AS token, COUNT(*) AS c_st
+               FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+               GROUP BY 1, 2),
+       st AS (SELECT source, SUM(c_st) AS t_s FROM sc GROUP BY 1),
+       gc AS (SELECT token, SUM(c_st) AS c_t FROM sc GROUP BY 1),
+       gt AS (SELECT SUM(c_st) AS t_g FROM sc),
+       terms AS (
+         SELECT sc.source, st.t_s,
+                CAST(ROUND((CAST(c_st AS DOUBLE) / t_s)
+                     * LN((CAST(c_st AS DOUBLE) / t_s) / (CAST(c_t AS DOUBLE) / t_g))
+                     * 1e6) AS BIGINT) AS micro_nats
+         FROM sc JOIN gc USING (token) JOIN st USING (source), gt)
+       SELECT source, CAST(MAX(t_s) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct_tokens,
+              CAST(SUM(micro_nats) AS DOUBLE) / 1e6 AS kl_nats
+       FROM terms GROUP BY source ORDER BY source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_domain_shift" -> (q99DomainShift _),
     "q98_vocab_coverage" -> (q98VocabCoverage _),
     "q72_rarity_score" -> (q72RarityScore _),
     "q65_char_ngrams" -> (q65CharNgrams _),
@@ -340,6 +398,7 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q99_domain_shift" -> q99Sql,
     "q98_vocab_coverage" -> q98Sql,
     "q72_rarity_score" -> q72Sql,
     "q65_char_ngrams" -> q65Sql,
