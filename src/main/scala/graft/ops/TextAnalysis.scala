@@ -385,7 +385,35 @@ object TextAnalysis {
               CAST(SUM(micro_nats) AS DOUBLE) / 1e6 AS kl_nats
        FROM terms GROUP BY source ORDER BY source"""
 
+  /** BPE merge-candidate table — tokenizer-prep step 2 (q98 builds the
+    * unigram vocab; this ranks the pair-merge candidates a byte-pair /
+    * word-pair tokenizer would greedily merge first): global counts of
+    * ADJACENT token pairs, top-20 by frequency with deterministic
+    * tie-break. Same scale shape as q98: per-row pair explode → one
+    * partial-aggregated count shuffle → TakeOrderedAndProject.
+    */
+  def q100BpeMerges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """IF(size(toks) >= 2,
+              transform(sequence(1, size(toks) - 1),
+                        i -> struct(element_at(toks, i) AS tok1,
+                                    element_at(toks, i + 1) AS tok2)),
+              array())""")).as("pr"))
+      .groupBy(col("pr.tok1").as("tok1"), col("pr.tok2").as("tok2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok1").asc, col("tok2").asc)
+      .limit(20)
+
+  val q100Sql: String =
+    """SELECT toks[i] AS tok1, toks[i+1] AS tok2, COUNT(*) AS cnt
+       FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+            UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
+       GROUP BY 1, 2 ORDER BY cnt DESC, tok1 ASC, tok2 ASC LIMIT 20"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_bpe_merges" -> (q100BpeMerges _),
     "q99_domain_shift" -> (q99DomainShift _),
     "q98_vocab_coverage" -> (q98VocabCoverage _),
     "q72_rarity_score" -> (q72RarityScore _),
@@ -398,6 +426,7 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q100_bpe_merges" -> q100Sql,
     "q99_domain_shift" -> q99Sql,
     "q98_vocab_coverage" -> q98Sql,
     "q72_rarity_score" -> q72Sql,
