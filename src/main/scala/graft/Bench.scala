@@ -19,10 +19,22 @@ object Bench {
     // that re-measured clean, so buy extra noise immunity here).
     // Optional subset filter for scaling probes (e.g. the BASELINE.md sf1
     // runs, which replicate only documents/embeddings); unset = full suite,
-    // which is what the driver runs.
+    // which is what the driver runs. Entries match a full query name OR its
+    // qNN prefix (the keys this main itself prints), and unmatched entries
+    // warn loudly — a typo'd filter must not record an empty suite as a
+    // legitimate 0-second measurement.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { filters =>
+      val known = SparkEntry.queries.keySet
+      val unmatched = filters.filterNot(f =>
+        known.contains(f) || known.exists(_.takeWhile(_ != '_') == f))
+      if (unmatched.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY entries match no query: " +
+          unmatched.mkString(", "))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_'))) }
       .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -44,6 +56,10 @@ object Bench {
     // shortened to the unambiguous "qNN" prefix (full names live in
     // SparkEntry.queries / BASELINE.md).
     def r3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
+    require(shortKeys.distinct.size == shortKeys.size,
+      "qNN prefixes must stay unique — a collision would emit duplicate JSON keys: " +
+        shortKeys.diff(shortKeys.distinct).mkString(", "))
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")

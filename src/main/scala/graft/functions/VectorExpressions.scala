@@ -16,35 +16,50 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * bit-for-bit).
   */
 object VectorExpressions {
-  /** Idempotent session registration; exposes `graft_dot(a, b)` in SQL and
-    * `expr("graft_dot(...)")`. Runs inside whole-stage codegen.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", (children: Seq[Expression]) => DotProductExpr(children(0), children(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_buckets", {
-        case Seq(c) => LshBucketsExpr(c)
-        case Seq(c, b) => LshBucketsExpr(c,
-          b.eval().asInstanceOf[Number].intValue())
-        case other => throw new IllegalArgumentException(
-          s"graft_lsh_buckets takes (emb[, bitsPerTable]), got ${other.size} args")
-      }: (Seq[Expression] => Expression),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", (children: Seq[Expression]) => MinHashSigExpr(children(0)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingle_hashes", (children: Seq[Expression]) => ShingleHashesExpr(children(0)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_bands", (children: Seq[Expression]) => MinHashBandsExpr(children(0)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", (children: Seq[Expression]) => SimHashExpr(children(0)),
-      "built-in")
+
+  private def arity1(name: String, mk: Expression => Expression)
+  : Seq[Expression] => Expression = {
+    case Seq(c) => mk(c)
+    case other => throw new IllegalArgumentException(
+      s"$name takes exactly 1 argument, got ${other.size}")
   }
+
+  /** The ONE list of graft's SQL functions: (name, implementing class,
+    * builder). Both session-registration paths — imperative [[register]]
+    * and the `spark.sql.extensions` hook (`graft.GraftExtensions`) —
+    * iterate this list, so the two surfaces cannot drift (a function added
+    * here is reachable from both; arity errors are raised identically).
+    */
+  private[graft] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProductExpr].getName, {
+      case Seq(a, b) => DotProductExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_dot takes exactly 2 arguments, got ${other.size}")
+    }: (Seq[Expression] => Expression)),
+    ("graft_lsh_buckets", classOf[LshBucketsExpr].getName, {
+      case Seq(c) => LshBucketsExpr(c)
+      case Seq(c, b) => LshBucketsExpr(c,
+        b.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_buckets takes (emb[, bitsPerTable]), got ${other.size} args")
+    }: (Seq[Expression] => Expression)),
+    ("graft_minhash_sig", classOf[MinHashSigExpr].getName,
+      arity1("graft_minhash_sig", MinHashSigExpr(_))),
+    ("graft_shingle_hashes", classOf[ShingleHashesExpr].getName,
+      arity1("graft_shingle_hashes", ShingleHashesExpr(_))),
+    ("graft_minhash_bands", classOf[MinHashBandsExpr].getName,
+      arity1("graft_minhash_bands", MinHashBandsExpr(_))),
+    ("graft_simhash", classOf[SimHashExpr].getName,
+      arity1("graft_simhash", SimHashExpr(_))))
+
+  /** Idempotent session registration; exposes every [[builders]] entry in
+    * SQL and `expr("graft_...(...)")`. All run inside whole-stage codegen.
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }
 
 /** Sequential dot product over two array<double> columns.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.t
@@ -269,17 +269,35 @@ object Curation {
     * strategy. Library callers with corpus-proportional eval sets should
     * pass their own plan.
     */
-  def q76Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    // Per-row array_distinct: 5-gram distinctness is per document, so no
-    // corpus-wide distinct() shuffle is needed (same rows out).
-    val sh5 = docs
+  /** One row per distinct (doc, word-5-gram shingle) — the contamination
+    * unit shared by q76 (binary), q91 (fraction), and q95 (manifest).
+    * Per-row array_distinct: 5-gram distinctness is per document, so no
+    * corpus-wide distinct() shuffle is needed (same rows out). One
+    * definition keeps the three contamination verdicts byte-consistent.
+    */
+  private[ops] def shingles5(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """array_distinct(IF(size(toks) >= 5,
               transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
               array()))"""))
         .as("shingle"))
+
+  /** The deterministic split-assignment columns q80/q93/q95 share: an md5
+    * bucket in [0, 100) from the doc_id (engine-portable — DuckDB rebuilds
+    * it digit-by-digit), and the 80/10/10 train/val/test name for a bucket.
+    * One definition keeps the three split verdicts identical.
+    */
+  private[ops] def splitBucketCol: Column =
+    expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  private[ops] def splitNameCol(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  def q76Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh5 = shingles5(docs)
     val evalSh = sh5.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
@@ -421,10 +439,8 @@ object Curation {
     */
   def q80SplitAssign(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("bucket",
-        expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val").otherwise("test"))
+      .withColumn("bucket", splitBucketCol)
+      .withColumn("split", splitNameCol(col("bucket")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("share", round(col("n_docs").cast("double") /

@@ -73,13 +73,7 @@ object Pipeline {
     */
   def q91ContaminationFrac(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val sh5 = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(IF(size(toks) >= 5,
-              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
-              array()))"""))
-        .as("shingle"))
+    val sh5 = Curation.shingles5(docs)
     val evalSh = sh5.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()
     val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
     val perDoc = trainSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -195,10 +189,9 @@ object Pipeline {
     */
   def q93SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val splits = docs.select(col("doc_id"),
-      when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 80, "train")
-        .when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 90, "val")
-        .otherwise("test").as("split"))
+    val splits = docs.select(col("doc_id"))
+      .withColumn("b", Curation.splitBucketCol)
+      .select(col("doc_id"), Curation.splitNameCol(col("b")).as("split"))
     Dedup.jaccardNearDups(docs)
       .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")), Seq("id1"))
       .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")), Seq("id2"))
@@ -235,11 +228,14 @@ object Pipeline {
     * hashed-shingle index is a persisted table, so a nightly run pays one
     * index build for the new batch plus one bucket join.
     */
-  def q94IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+  def q94IncrementalDedup(s: SparkSession, dir: String,
+                          handle: StorageHandle = new StorageHandle): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("src_num", expr("CAST(substring(source, 4) AS INT)"))
-    val sh = Dedup.hashedShingles(docs.select(col("doc_id"), col("text")))
-      .join(docs.select(col("doc_id"), (col("src_num") >= 10).as("is_new")), Seq("doc_id"))
+    // Pinned: sh feeds sizes plus both sides of the cross-batch join
+    // (same cache-lifecycle contract as jaccardNearDups).
+    val sh = handle.pin(Dedup.hashedShingles(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), (col("src_num") >= 10).as("is_new")), Seq("doc_id")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.filter(!col("is_new")).as("a")
       .join(sh.filter(col("is_new")).as("b"), col("a.h") === col("b.h"))
@@ -331,22 +327,15 @@ object Pipeline {
           .orderBy(col("ttr").desc, col("doc_id").asc)
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("doc_id"), (col("doc_id") === col("keeper_id")).as("is_keeper"))
-    val sh5 = docs
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(IF(size(toks) >= 5,
-              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
-              array()))"""))
-        .as("shingle"))
+    val sh5 = Curation.shingles5(docs)
     val contam = sh5.filter(col("doc_id") % 97 =!= 0)
       .join(broadcast(sh5.filter(col("doc_id") % 97 === 0).select(col("shingle")).distinct()),
         Seq("shingle"))
       .select(col("doc_id")).distinct()
       .withColumn("hit", lit(true))
-    val splits = docs.select(col("doc_id"),
-      when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 80, "train")
-        .when(expr("CAST(conv(substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100") < 90, "val")
-        .otherwise("test").as("split"))
+    val splits = docs.select(col("doc_id"))
+      .withColumn("b", Curation.splitBucketCol)
+      .select(col("doc_id"), Curation.splitNameCol(col("b")).as("split"))
     docs.select(col("doc_id"))
       .join(exact, "doc_id")
       .join(keeper, "doc_id")
@@ -442,14 +431,17 @@ object Pipeline {
     * codegen'd [[graft.functions.SimHashExpr]]; the oracle rebuilds them
     * from md5-derived token hashes bit-identically (q53's construction).
     */
-  def q96PairFeatures(s: SparkSession, dir: String): DataFrame = {
+  def q96PairFeatures(s: SparkSession, dir: String,
+                      handle: StorageHandle = new StorageHandle): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.functions.VectorExpressions.register(s)
-    val sh = Dedup.hashedShingles(docs)
+    // Pinned: sh feeds sizes plus both self-join sides; meta (with its
+    // per-doc SimHash) joins back once per pair side.
+    val sh = handle.pin(Dedup.hashedShingles(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val meta = docs.select(col("doc_id"),
+    val meta = handle.pin(docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"),
-      expr("graft_simhash(split(text, ' '))").as("sig"))
+      expr("graft_simhash(split(text, ' '))").as("sig")))
     sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -510,9 +502,9 @@ object Pipeline {
     "q91_contamination_frac" -> (q91ContaminationFrac _),
     "q92_quality_funnel" -> (q92QualityFunnel _),
     "q93_split_leakage" -> (q93SplitLeakage _),
-    "q94_incremental_dedup" -> (q94IncrementalDedup _),
+    "q94_incremental_dedup" -> ((s, d) => q94IncrementalDedup(s, d)),
     "q95_curation_manifest" -> (q95CurationManifest _),
-    "q96_pair_features" -> (q96PairFeatures _))
+    "q96_pair_features" -> ((s, d) => q96PairFeatures(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q90_containment_dedup" -> q90Sql,

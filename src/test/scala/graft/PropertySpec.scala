@@ -43,6 +43,11 @@ class PropertySpec extends SparkSpec {
     // the driver an orphan SQL and the query a silent rows-only check).
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    // Bench emits each query under its qNN prefix (bounded-stdout fit);
+    // a prefix collision would produce duplicate JSON keys there.
+    val prefixes = SparkEntry.queries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    assert(prefixes.distinct.size == prefixes.size,
+      s"qNN prefix collision: ${prefixes.diff(prefixes.distinct)}")
   }
 
   test("top-k is a prefix of the fully sorted counts, for any tag multiset") {

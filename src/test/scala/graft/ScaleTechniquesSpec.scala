@@ -131,23 +131,34 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
-  test("graft_dot is callable from pure SQL after registration; extension injection works") {
-    // The injection function GraftExtensions wires up (we own this logic):
+  test("custom functions: one builder list feeds SQL registration and the extensions hook") {
+    // register() and GraftExtensions.apply iterate the SAME builders list,
+    // so surface drift is structurally impossible; this test pins the
+    // list's contents and exercises both the smoke path and arity errors.
+    val names = graft.functions.VectorExpressions.builders.map(_._1).toSet
+    assert(names == Set("graft_dot", "graft_lsh_buckets", "graft_shingle_hashes",
+      "graft_minhash_sig", "graft_minhash_bands", "graft_simhash"), names)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
-    // SQL-surface check on the session (imperative registration path):
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
       .collect()(0).getDouble(0)
     assert(r == 11.0)
-    // Every custom expression must be reachable from pure SQL — a function
-    // present in register() but missing from GraftExtensions would pass
-    // here yet break spark.sql.extensions users (and vice versa).
+    // Every function reachable from pure SQL, including the
+    // graft_lsh_buckets bits-per-table dial (2-arg form).
     Seq("graft_lsh_buckets(array(1.0D))",
+      "graft_lsh_buckets(array(1.0D), 8)",
       "graft_shingle_hashes(array('a','b','c','d'))",
       "graft_minhash_sig(graft_shingle_hashes(array('a','b','c','d')))",
       "graft_minhash_bands(graft_shingle_hashes(array('a','b','c','d')))",
       "graft_simhash(array('a','b'))").foreach { call =>
       assert(spark.sql(s"SELECT $call AS v").collect().length == 1, call)
+    }
+    // Wrong arity raises (not silently dropped) — same builder both paths.
+    intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_simhash(array('a'), 2)").collect()
     }
   }
 
