@@ -24,12 +24,19 @@ class CacheLifecycleSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
     assert(ops.Curation.connectedComponents(
       docs.select(col("doc_id")), pairs, h4).count() > 0)
+    val h5 = new ops.StorageHandle
+    assert(ops.Pipeline.containmentPairs(docs, handle = h5).count() > 0)
+    val h6 = new ops.StorageHandle
+    assert(ops.Pipeline.q94IncrementalDedup(spark, sfDir, h6).count() > 0)
+    val h7 = new ops.StorageHandle
+    assert(ops.Pipeline.q96PairFeatures(spark, sfDir, h7).count() > 0)
 
     // While the handles are open the shared frames ARE cached (that's the
     // reuse the operators rely on)...
     assert(spark.sparkContext.getPersistentRDDs.size > before,
       "expected live caches while handles are open")
     h1.release(); h2.release(); h3.release(); h4.release()
+    h5.release(); h6.release(); h7.release()
     // ...and releasing them restores the session exactly.
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size} != $before")
