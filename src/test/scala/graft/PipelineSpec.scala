@@ -53,6 +53,42 @@ class PipelineSpec extends SparkSpec {
     rows.filter(_._2 >= 0).foreach { case (_, best) => assert(oldIds.contains(best)) }
   }
 
+  test("degenerate docs (too short for shingles) flow through the pipeline ops") {
+    import org.apache.spark.sql.functions._
+    // 2-token and 5-token docs: below the 3-gram/5-gram guards that rely on
+    // Spark's descending sequence(1, 0) quirk being IF-guarded.
+    val dir = java.nio.file.Files.createTempDirectory("edge_docs").toString
+    Seq(
+      (1L, "a b", "en", "src0", 3L),
+      (97L, "a b c d e", "en", "src1", 9L), // eval-side id (97 % 97 == 0)
+      (2L, (1 to 30).map(i => s"w$i").mkString(" "), "en", "src10", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // Contamination fraction: the 2-token doc has zero 5-gram shingles →
+    // frac 0.0, not null/NaN; the eval doc (97) is excluded.
+    val contam = ops.Pipeline.q91ContaminationFrac(spark, dir)
+      .select("doc_id", "n_shingles", "contam_frac")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(contam.map(_._1).toSeq == Seq(1L, 2L))
+    assert(contam.head._2 == 0L && contam.head._3 == 0.0)
+
+    // Manifest: every doc gets a row; the shingle-less doc is trivially a
+    // cluster keeper and exact-canonical.
+    val manifest = ops.Pipeline.q95CurationManifest(spark, dir)
+      .select("doc_id", "is_keeper", "exact_canonical", "quality_ok")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(manifest.map(_._1).toSeq == Seq(1L, 2L, 97L))
+    assert(manifest.forall(r => r._2 && r._3))
+    assert(!manifest.head._4) // 2 tokens < the 20-token length gate
+
+    // Pair features/incremental dedup: no co-shingled pairs → empty, not a crash.
+    assert(ops.Pipeline.q96PairFeatures(spark, dir).count() == 0)
+    val inc = ops.Pipeline.q94IncrementalDedup(spark, dir)
+      .select("doc_id", "is_novel").as[(Long, Boolean)].collect()
+    assert(inc.toSeq == Seq((2L, true))) // the one src10+ doc, novel
+  }
+
   test("quality funnel stages are monotonically non-increasing") {
     val rows = ops.Pipeline.q92QualityFunnel(spark, sfDir)
       .select("n_total", "n_len", "n_ttr", "n_rep", "n_final")
