@@ -32,9 +32,30 @@ object Bench {
         System.err.println(s"[bench] SPARK_GRAFT_ONLY entries match no query: " +
           unmatched.mkString(", "))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         only.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_'))) }
+    // An all-typo filter must fail loudly, not record an empty suite as a
+    // legitimate 0-second total a downstream parser would trust (ADVICE r4).
+    if (only.isDefined && selected.isEmpty) {
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY matched zero queries: " +
+        only.get.mkString(", "))
+      spark.stop()
+      sys.exit(2)
+    }
+    // Machine-speed anchor: a fixed DATA-INDEPENDENT workload (hash-sum
+    // over a generated range — no I/O, no testdata dependency) timed the
+    // same min-of-three way. Cross-round comparisons divide query times by
+    // the anchor ratio to cancel the ±20-40% ambient machine variance this
+    // box shows, instead of caveating it in prose (VERDICT r4 item 8).
+    val anchor = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // % bounds the summand so the 20M-row sum stays ANSI-safe (a raw
+      // xxhash64 sum overflows LONG and throws under Spark 4's ANSI mode).
+      spark.range(20000000L).selectExpr("sum(xxhash64(id) % 1000000)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val results = selected
       .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -45,7 +66,10 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // per-query caches must not leak across timings
+        // Per-query caches must not leak across timings; releaseDefaults
+        // also frees localCheckpoint blocks clearCache can't see.
+        ops.StorageHandle.releaseDefaults()
+        spark.catalog.clearCache()
         dt
       }
       name -> times.min
@@ -64,7 +88,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","anchor":${r3(anchor)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,7 +22,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Queries cache intermediates (shingle sets, signatures); drop them
-      // so 70 queries in one session don't accumulate storage pressure.
+      // so 100+ queries in one session don't accumulate storage pressure.
+      // releaseDefaults also frees localCheckpoint blocks, which live at
+      // the RDD layer where clearCache can't see them.
+      ops.StorageHandle.releaseDefaults()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

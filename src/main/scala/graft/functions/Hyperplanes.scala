@@ -104,13 +104,25 @@ object Hyperplanes {
     * bit-identical to graft_dot's 0.0-init ascending fold because
     * 0.0 + x == x exactly.
     */
-  def duckBucketsSql(emb: String): String = {
-    val buckets = (0 until tables).map { tbl =>
-      (0 until bits).map { b =>
-        val p = planeArraySql(planes(tbl * bits + b), "[", "]")
+  def duckBucketsSql(emb: String): String = duckBucketsSql(emb, bits)
+
+  /** Same shared planes regrouped into 64/bitsPerTable tables — the DuckDB
+    * replica of [[sparkBucketsExpr(emb:String,bitsPerTable:Int)*]]. Plane
+    * index (t * bitsPerTable + b) and MSB-first weighting mirror
+    * [[LshBucketsExpr]]'s flat-plane layout exactly, so bucket ids agree
+    * bit-for-bit at ANY geometry (the r=8 posture of q101/q102 is
+    * oracle-checked through this).
+    */
+  def duckBucketsSql(emb: String, bitsPerTable: Int): String = {
+    require(bitsPerTable > 0 && (tables * bits) % bitsPerTable == 0,
+      s"bitsPerTable must divide ${tables * bits}, got $bitsPerTable")
+    val nTables = tables * bits / bitsPerTable
+    val buckets = (0 until nTables).map { tbl =>
+      (0 until bitsPerTable).map { b =>
+        val p = planeArraySql(planes(tbl * bitsPerTable + b), "[", "]")
         s"""(CASE WHEN list_reduce(
              [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
-             (acc, v) -> acc + v) > 0 THEN ${1 << (bits - 1 - b)} ELSE 0 END)"""
+             (acc, v) -> acc + v) > 0 THEN ${1 << (bitsPerTable - 1 - b)} ELSE 0 END)"""
       }.mkString("(", " + ", ")")
     }
     buckets.mkString("[", ", ", "]")

@@ -129,7 +129,7 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
-                      handle: StorageHandle = new StorageHandle): DataFrame = {
+                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val sh = handle.pin(hashedShingles(docs, maxShingleDf))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
@@ -240,7 +240,7 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
-                      handle: StorageHandle = new StorageHandle): DataFrame = {
+                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val sets = handle.pin(hashedShingleSets(docs, maxShingleDf))
     // Fused signature+banding kernel: one codegen'd pass from hashed
     // shingles to the 32 packed band keys (DedupSpec pins equivalence to
@@ -378,16 +378,9 @@ object Dedup {
     * always a subset — pinned by DedupSpec.
     */
   def embeddingNearDups(e: DataFrame, threshold: Double = 0.45,
-                        bitsPerTable: Int = graft.functions.Hyperplanes.bits): DataFrame = {
-    val bands = e.select(col("vec_id"), posexplode(
-      expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable)))
-      .as(Seq("tbl", "bucket")))
-    val cands = bands.as("x")
-      .join(bands.as("y"),
-        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
-      .distinct()
+                        bitsPerTable: Int = graft.functions.Hyperplanes.bits,
+                        multiProbe: Boolean = false): DataFrame = {
+    val cands = embeddingCandidates(e, bitsPerTable, multiProbe)
     cands
       .join(e.as("a"), col("id1") === col("a.vec_id"))
       .join(e.as("b"), col("id2") === col("b.vec_id"))
@@ -396,13 +389,53 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** Same candidate-then-verify semantics in DuckDB: per-vector signature
-    * list from identical plane literals, pairs colliding in ≥ 1 table,
-    * exact dot ≥ 0.45.
+  /** Candidate pairs for [[embeddingNearDups]]: vec_id pairs sharing a
+    * bucket in ≥ 1 table, optionally widened by MULTI-PROBING (q84's trick
+    * composed into the near-dup miner — the recall buy-back for the
+    * high-bits geometry): with multiProbe, a pair is a candidate when its
+    * bucket values in some table differ by AT MOST ONE BIT (home bucket +
+    * the bitsPerTable one-bit flips). One-bit perturbation is symmetric
+    * (a ∈ flips(b) ⟺ b ∈ flips(a)), so expanding ONE join side suffices
+    * for full hamming ≤ 1 recall — the index side stays unexpanded, which
+    * is what makes this a candidate-volume dial rather than an index
+    * rebuild: ~(1 + bits)× more probe rows, same corpus-side shuffle.
+    *
+    * Geometry containment (DedupSpec-pinned): an r=8+probes candidate set
+    * sits BETWEEN plain r=8 and r=4 — a one-bit mismatch in an 8-bit table
+    * leaves one of its two 4-bit halves agreeing fully, so every
+    * multi-probe candidate is also an r=4 candidate.
     */
-  def q54Sql: String = {
-    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
-    val nt = graft.functions.Hyperplanes.tables
+  private[graft] def embeddingCandidates(e: DataFrame, bitsPerTable: Int,
+                                         multiProbe: Boolean): DataFrame = {
+    val bands = e.select(col("vec_id"), posexplode(
+      expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable)))
+      .as(Seq("tbl", "bucket")))
+    val probes =
+      if (!multiProbe) bands
+      else bands.select(col("vec_id"), col("tbl"), explode(expr(
+        s"concat(array(bucket), transform(sequence(0, ${bitsPerTable - 1}), b -> bucket ^ shiftleft(1, b)))"))
+        .as("bucket"))
+    probes.as("x")
+      .join(bands.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+      .distinct()
+  }
+
+  /** Same candidate-then-verify semantics in DuckDB: per-vector signature
+    * list from identical plane literals, pairs colliding in ≥ 1 table
+    * (hamming ≤ 1 per table when multi-probing), exact dot ≥ 0.45.
+    * Parameterized by the same (bitsPerTable, multiProbe) dial as
+    * [[embeddingNearDups]] so every registered geometry is hash-checked
+    * end to end.
+    */
+  private def neardupOracleSql(bitsPerTable: Int, multiProbe: Boolean): String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding", bitsPerTable)
+    val nt = graft.functions.Hyperplanes.tables * graft.functions.Hyperplanes.bits / bitsPerTable
+    val collide =
+      if (multiProbe) "bit_count(xor(a.sig[i], b.sig[i])) <= 1"
+      else "a.sig[i] = b.sig[i]"
     s"""WITH sig AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
        pairs AS (
          SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -410,9 +443,44 @@ object Dedup {
                              FOR i IN generate_series(1, len(a.embedding))],
                             (acc, v) -> acc + v) AS cosine
          FROM sig a JOIN sig b ON a.vec_id < b.vec_id
-         WHERE list_contains([a.sig[i] = b.sig[i] FOR i IN generate_series(1, $nt)], true))
+         WHERE list_contains([$collide FOR i IN generate_series(1, $nt)], true))
        SELECT id1, id2, cosine FROM pairs WHERE cosine >= 0.45 ORDER BY id1, id2"""
   }
+
+  def q54Sql: String = neardupOracleSql(graft.functions.Hyperplanes.bits, multiProbe = false)
+
+  /** The 100 TB posture of q54 (VERDICT r4 item 1): the SAME 64 shared
+    * planes regrouped into 8 tables × 8 bits. The sf1 scaling probe proved
+    * the r=4 default 10×-unsafe (candidates ∝ n²·L/2⁴: 66 s vs 2.7 s at
+    * 10× corpus); b ≈ log₂(n) is the linear-work geometry, and registering
+    * it as its own oracle-checked query makes the scale-safe path
+    * hash-verified end to end — like q79 did for the df-cap.
+    */
+  def q101EmbeddingNeardupR8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      bitsPerTable = 8)
+  }
+
+  val q101Sql: String = neardupOracleSql(8, multiProbe = false)
+
+  /** q101 + multi-probe recall buy-back (VERDICT r4 item 2): raising r to 8
+    * costs recall on threshold-grazing pairs ((1−θ/π)⁸ ≈ 0.03 per-table
+    * collision at cos 0.45 vs 0.18 at r=4); probing each table's one-bit
+    * flips recovers most of it at ~9× probe rows — still ~28× fewer
+    * candidates than r=4 (2⁸/9 per table). This is the geometry you'd run
+    * at 10×+ corpus: candidates stay ∝ n²·L·9/2⁸, recall back near the
+    * r=4 floor. Both dials verified together, hash-exact.
+    */
+  def q102EmbeddingNeardupMp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      bitsPerTable = 8, multiProbe = true)
+  }
+
+  val q102Sql: String = neardupOracleSql(8, multiProbe = true)
 
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
@@ -443,7 +511,7 @@ object Dedup {
     jaccardNearDupsPrefix(t(s, dir, "documents"))
 
   def jaccardNearDupsPrefix(docs: DataFrame, threshold: Double = 0.6,
-                            handle: StorageHandle = new StorageHandle): DataFrame = {
+                            handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // Hashed shingles throughout (round 4, same trade as
     // [[jaccardNearDups]]): the df join, the rank window, and the
@@ -531,7 +599,9 @@ object Dedup {
     "q53_simhash" -> (q53Simhash _),
     "q54_embedding_neardup" -> (q54EmbeddingNeardup _),
     "q79_dedup_jaccard_capped" -> (q79DedupJaccardCapped _),
-    "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _))
+    "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _),
+    "q101_embedding_neardup_r8" -> (q101EmbeddingNeardupR8 _),
+    "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -542,5 +612,7 @@ object Dedup {
     "q79_dedup_jaccard_capped" -> q79Sql,
     // Prefix filtering changes candidate generation only — the exact
     // verify reproduces the full J >= 0.6 set, so q51's oracle applies.
-    "q81_dedup_jaccard_prefix" -> q51Sql)
+    "q81_dedup_jaccard_prefix" -> q51Sql,
+    "q101_embedding_neardup_r8" -> q101Sql,
+    "q102_embedding_neardup_multiprobe" -> q102Sql)
 }

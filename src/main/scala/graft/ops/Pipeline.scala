@@ -23,16 +23,19 @@ import graft.sources.Tables.t
   */
 object Pipeline {
 
-  /** Directed containment pairs: C = |A∩B| / min(|A|,|B|) over word-3-gram
-    * shingle sets. Catches the sub-document duplicates Jaccard misses —
-    * a short doc fully embedded in a long one has J = |A|/|B| (small) but
-    * C = 1.0. This is the standard complement to Jaccard dedup for
+  /** SYMMETRIC containment pairs: C = |A∩B| / min(|A|,|B|) over word-3-gram
+    * shingle sets, one id1 < id2 row per pair. Catches the sub-document
+    * duplicates Jaccard misses — a short doc fully embedded in a long one
+    * has J = |A|/|B| (small) but C = 1.0. Direction is recoverable from the
+    * per-side scores (ADVICE r4): `cont1` = |∩|/|A| (share of doc id1
+    * covered), `cont2` = |∩|/|B| — the CONTAINED document is the one whose
+    * score is ~1.0. This is the standard complement to Jaccard dedup for
     * boilerplate-wrapped copies (same inverted-index shape as
     * [[Dedup.jaccardNearDups]]: candidates only for co-shingled pairs,
     * count-proportional verify, one shuffle on an 8-byte hash).
     */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
-                       handle: StorageHandle = new StorageHandle): DataFrame = {
+                       handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val sh = handle.pin(Dedup.hashedShingles(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     sh.as("a")
@@ -42,6 +45,8 @@ object Pipeline {
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"), col("s1.n").as("n1"), col("s2.n").as("n2"),
+        (col("c").cast("double") / col("s1.n")).as("cont1"),
+        (col("c").cast("double") / col("s2.n")).as("cont2"),
         (col("c").cast("double") / least(col("s1.n"), col("s2.n"))).as("containment"))
       .filter(col("containment") >= threshold)
       .orderBy(col("id1"), col("id2"))
@@ -58,6 +63,8 @@ object Pipeline {
        common AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
                   FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
        SELECT id1, id2, s1.n AS n1, s2.n AS n2,
+              c * 1.0 / s1.n AS cont1,
+              c * 1.0 / s2.n AS cont2,
               c * 1.0 / LEAST(s1.n, s2.n) AS containment
        FROM common JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
        WHERE c * 1.0 / LEAST(s1.n, s2.n) >= 0.9
@@ -229,7 +236,7 @@ object Pipeline {
     * index build for the new batch plus one bucket join.
     */
   def q94IncrementalDedup(s: SparkSession, dir: String,
-                          handle: StorageHandle = new StorageHandle): DataFrame = {
+                          handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("src_num", expr("CAST(substring(source, 4) AS INT)"))
     // Pinned: sh feeds sizes plus both sides of the cross-batch join
@@ -432,7 +439,7 @@ object Pipeline {
     * from md5-derived token hashes bit-identically (q53's construction).
     */
   def q96PairFeatures(s: SparkSession, dir: String,
-                      handle: StorageHandle = new StorageHandle): DataFrame = {
+                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.functions.VectorExpressions.register(s)
     // Pinned: sh feeds sizes plus both self-join sides; meta (with its

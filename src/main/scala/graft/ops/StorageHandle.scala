@@ -37,3 +37,30 @@ final class StorageHandle {
     */
   def release(): Unit = { frames.foreach(_.unpersist(false)); frames.clear() }
 }
+
+/** Session-level registry for DEFAULT handles (ADVICE r4): callers that
+  * don't pass their own handle — the `queries` map entries the driver and
+  * Bench invoke — used to leak pinned frames for the session lifetime.
+  * `spark.catalog.clearCache()` reclaims catalog-cached ones but NOT
+  * `localCheckpoint()` blocks (those persist at the RDD layer, outside the
+  * CacheManager — connected components adopts such a frame). Every default
+  * handle now self-registers here, and the harnesses (Bench, Verify) call
+  * [[releaseDefaults]] after each query's materialization, freeing exactly
+  * the library-pinned storage. Library users passing explicit handles are
+  * untouched; ones relying on defaults can call releaseDefaults() at any
+  * batch boundary.
+  */
+object StorageHandle {
+  private val defaults = scala.collection.mutable.ArrayBuffer.empty[StorageHandle]
+
+  /** A fresh handle registered for [[releaseDefaults]] cleanup. */
+  def sessionDefault(): StorageHandle =
+    defaults.synchronized { val h = new StorageHandle; defaults += h; h }
+
+  /** Release every handle created by [[sessionDefault]] since the last
+    * call. Idempotent, thread-safe.
+    */
+  def releaseDefaults(): Unit = defaults.synchronized {
+    defaults.foreach(_.release()); defaults.clear()
+  }
+}

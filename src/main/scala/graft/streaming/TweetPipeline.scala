@@ -109,38 +109,60 @@ object TweetPipeline {
     * newest ~10 s of events. With sliding windows the trailing window's
     * start is max(start) + slide - windowLen.
     *
-    * Output-mode scale note: complete mode re-emits the whole leaderboard
-    * state per trigger — correct for this dashboard (state is bounded by
-    * |windows in 15 min| × |distinct tags|, and the reference's contract
-    * is "current standings every 10 s"). For unbounded key cardinality
-    * the right shape is APPEND mode, where each window's counts emit
-    * exactly once when the watermark closes it (see the StreamingSpec
-    * closed-window test) and state is evicted — that variant is the same
-    * `windowedCounts` aggregation with `outputMode("append")`.
+    * Output-mode knob (VERDICT r4 item 3): COMPLETE mode re-emits the
+    * whole leaderboard state per trigger — correct for this dashboard
+    * (state is bounded by |windows in 15 min| × |distinct tags|, and the
+    * reference's contract is "current standings every 10 s"). For
+    * unbounded key cardinality the production shape is APPEND mode: each
+    * window's counts reach the sink exactly once when the watermark
+    * closes it, state is EVICTED rather than retained forever, and the
+    * published document is the top-5 of the newest CLOSED window — the
+    * standings lag by the watermark, the price of bounded state. The
+    * aggregation itself is mode-agnostic (same [[windowedCounts]] plan);
+    * only the per-batch window selection differs, because an append batch
+    * carries closed windows while a complete batch carries all of them.
     */
   def run(spark: SparkSession, tweets: DataFrame, resultPath: String,
           triggerInterval: String = "10 seconds",
           checkpointDir: Option[String] = None,
           windowLen: String = "15 minutes",
-          slide: String = "10 seconds"): org.apache.spark.sql.streaming.StreamingQuery = {
+          slide: String = "10 seconds",
+          outputMode: String = "complete"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(outputMode == "complete" || outputMode == "append",
+      s"outputMode must be 'complete' or 'append', got '$outputMode'")
     val trailingOffsetMs = durationMs(slide) - durationMs(windowLen)
     val writer = windowedCounts(tweets, windowLen, slide)
       .writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerInterval))
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val latest = batch.select(max(col("window.start"))).first()
-        if (!latest.isNullAt(0)) {
-          val trailingStart = new java.sql.Timestamp(
-            latest.getTimestamp(0).getTime + trailingOffsetMs)
-          val top = topK(
-            batch.filter(col("window.start") === trailingStart)
-              .select(col("hashtag"), col("count")), 5)
-            .collect()
-          AnalyticSink.write(resultPath,
-            top.map(r => (r.getString(0), r.getLong(1))).toSeq)
+        if (outputMode == "complete") {
+          // Publish the TRAILING full-length window of the current state.
+          val latest = batch.select(max(col("window.start"))).first()
+          if (!latest.isNullAt(0)) {
+            val trailingStart = new java.sql.Timestamp(
+              latest.getTimestamp(0).getTime + trailingOffsetMs)
+            val top = topK(
+              batch.filter(col("window.start") === trailingStart)
+                .select(col("hashtag"), col("count")), 5)
+              .collect()
+            AnalyticSink.write(resultPath,
+              top.map(r => (r.getString(0), r.getLong(1))).toSeq)
+          }
+        } else {
+          // Append batch = windows the watermark just closed (each exactly
+          // once). Publish the newest closed window's final standings.
+          val latest = batch.select(max(col("window.end"))).first()
+          if (!latest.isNullAt(0)) {
+            val top = topK(
+              batch.filter(col("window.end") === latest.getTimestamp(0))
+                .select(col("hashtag"), col("count")), 5)
+              .collect()
+            AnalyticSink.write(resultPath,
+              top.map(r => (r.getString(0), r.getLong(1))).toSeq)
+          }
         }
       }
       .start()

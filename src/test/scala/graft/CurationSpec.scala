@@ -58,6 +58,31 @@ class CurationSpec extends SparkSpec {
       s"round caches leaked: $persistedBefore -> $persistedAfter persistent RDDs")
   }
 
+  test("connected components with a RELIABLE checkpoint dir: identical labels on the chain graph") {
+    // The cluster-safe mode (VERDICT r4 item 4): every-5-rounds lineage
+    // truncation goes through checkpoint() to a directory instead of
+    // executor-local blocks. 1000-chain needs ~10 rounds, so the reliable
+    // path is exercised at least once; labels must match the default mode.
+    val n = 1000L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id1", "id2")
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    // Explicit handle, released below — suites share one JVM/session, and
+    // CacheLifecycleSpec counts persistent RDDs concurrently.
+    val h = new ops.StorageHandle
+    val (out, rounds) = ops.Curation.connectedComponentsWithRounds(
+      docs, pairs, handle = h, checkpointDir = Some(ckpt))
+    val labels = out.select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    h.release()
+    assert(labels.size == n && labels.values.forall(_ == 0L),
+      s"chain must collapse to one component labeled 0 under reliable checkpointing")
+    assert(rounds > 5, s"chain must cross the 5-round checkpoint boundary, got $rounds")
+    // The reliable checkpoint actually wrote state to the directory.
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "checkpoint dir is empty — reliable path not taken")
+  }
+
   test("shard text over a shared cached q75 assignment equals the standalone query") {
     val standalone = ops.Curation.q83ShardText(spark, sfDir)
     val assignment = ops.Curation.q75TokenShards(spark, sfDir).cache()

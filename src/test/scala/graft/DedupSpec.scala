@@ -149,6 +149,29 @@ class DedupSpec extends SparkSpec {
     assert(fine.nonEmpty)
   }
 
+  test("multi-probe r=8 candidates sandwich between plain r=8 and r=4; recall superset") {
+    graft.functions.VectorExpressions.register(spark)
+    val e = graft.sources.Tables.t(spark, sfDir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    def cands(bits: Int, mp: Boolean) = ops.Dedup.embeddingCandidates(e, bits, mp)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val c4 = cands(4, mp = false)
+    val c8 = cands(8, mp = false)
+    val c8mp = cands(8, mp = true)
+    // Home bucket is in its own probe set -> plain r=8 candidates survive.
+    assert(c8.subsetOf(c8mp), s"r=8 candidates lost by probing: ${c8 -- c8mp}")
+    // A one-bit mismatch in an 8-bit table leaves one 4-bit half agreeing
+    // fully, so every probed candidate is also an r=4 candidate.
+    assert(c8mp.subsetOf(c4), s"probed candidates outside r=4: ${c8mp -- c4}")
+    assert(c8mp.size >= c8.size && c8mp.size <= c4.size)
+    // Verified results inherit the containment (verify is a pure filter).
+    val r8 = ops.Dedup.embeddingNearDups(e, bitsPerTable = 8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val r8mp = ops.Dedup.embeddingNearDups(e, bitsPerTable = 8, multiProbe = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(r8.subsetOf(r8mp), s"multi-probe lost verified pairs: ${r8 -- r8mp}")
+  }
+
   test("embedding near-dup (LSH-bucketed q54): subset of exact, recall pinned") {
     val exact = exactNeardupAllPairs
       .select("id1", "id2").as[(Long, Long)].collect().toSet

@@ -27,9 +27,13 @@ class LayoutSpec extends SparkSpec {
         .collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }.sortBy(_._1)
+    // STRICT inequality (ADVICE r4): RangePartitioner sends equal keys to
+    // one partition, so adjacent files must not even SHARE a key value —
+    // hi1 <= lo2 would accept a straddling key and silently weaken the
+    // documented file-skipping guarantee.
     ranges.sliding(2).foreach {
       case Seq((_, hi1, _), (lo2, _, _)) =>
-        assert(hi1 <= lo2, s"overlapping file ranges: $ranges")
+        assert(hi1 < lo2, s"adjacent file ranges share or overlap keys: $ranges")
       case _ => ()
     }
 

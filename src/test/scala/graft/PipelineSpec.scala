@@ -21,6 +21,12 @@ class PipelineSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(cont == Set((1L, 2L)))
 
+    // Direction is recoverable (ADVICE r4): doc 1 is the CONTAINED one, so
+    // its per-side score cont1 = |∩|/|A| is 1.0 while cont2 < 1.
+    val row = ops.Pipeline.containmentPairs(docs, threshold = 0.9)
+      .select("cont1", "cont2").as[(Double, Double)].collect().head
+    assert(row._1 == 1.0 && row._2 < 1.0, row)
+
     val jac = ops.Dedup.jaccardNearDups(docs, threshold = 0.6)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(!jac.contains((1L, 2L))) // the pair containment exists to catch

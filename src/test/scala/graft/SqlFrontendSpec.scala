@@ -4,13 +4,58 @@ package graft
   * unchanged through `spark.sql` on registered views and returns exactly
   * what the DataFrame formulation returns — one logical surface, two entry
   * points (the reference's users get a SQL door, not just the Scala API).
+  *
+  * The list is DERIVED from `SparkEntry.oracleSql` minus a documented
+  * exclusion set (VERDICT r4 item 5), so every future query is proven
+  * portable by default — adding a DuckDB-only oracle without updating the
+  * exclusions fails this suite rather than silently shrinking the claim.
   */
 class SqlFrontendSpec extends SparkSpec {
 
-  private val portable = Seq(
-    "q01_pricing_summary", "q02_filter_project", "q03_revenue",
-    "q06_join_left", "q07_join_semi", "q08_join_anti",
-    "q44_in_subquery", "q45_correlated_exists")
+  /** Oracle strings written in DuckDB-only dialect — each name's SQL uses
+    * at least one construct Spark SQL does not parse or resolve:
+    * list comprehensions (`[expr FOR i IN ...]`) and `list_*` functions,
+    * `string_split`/`array_to_string`/`unnest`-in-SELECT,
+    * `generate_series`/`generate_subscripts` as table functions, `::`
+    * casts, `epoch_us`/`epoch_ms`/`time_bucket`/`strftime`,
+    * `quantile_cont`, `json_extract_string`, `string_agg(... ORDER BY)`,
+    * DuckDB `PIVOT`/`ASOF JOIN` statements, `xor()`, `strpos`-fold md5
+    * parsing, and DuckDB recursive-CTE idioms. The DataFrame side of each
+    * is still hash-checked against DuckDB by the driver — this exclusion
+    * is about the SQL STRING's dialect, not the operator's correctness.
+    */
+  private val duckOnly: Set[String] = Set(
+    "q15_grouping_sets", "q18_pivot", "q22_window_moving", "q27_percentiles",
+    "q28_string_agg", "q30_string_funcs", "q31_date_funcs", "q33_json_funcs",
+    "q34_array_funcs", "q35_explode_tokens", "q37_hashtag_topk",
+    "q38_session_window", "q46_asof_join", "q47_sessionize",
+    "q49_tumbling_window", "q51_dedup_jaccard", "q52_minhash_lsh",
+    "q53_simhash", "q54_embedding_neardup", "q55_ann_bruteforce",
+    "q56_ann_lsh", "q58_ann_ivf", "q59_centroids", "q60_langid",
+    "q61_quality", "q62_token_stats", "q63_fingerprint", "q64_tfidf",
+    "q65_char_ngrams", "q67_from_json", "q70_media_features",
+    "q71_frame_sample", "q72_rarity_score", "q73_dup_clusters",
+    "q74_stratified_sample", "q75_token_shards", "q76_decontaminate",
+    "q77_repetition", "q78_media_resize", "q79_dedup_jaccard_capped",
+    "q80_split_assign", "q81_dedup_jaccard_prefix", "q82_variant_json",
+    "q83_shard_text", "q84_ann_multiprobe", "q85_quantize",
+    "q86_cluster_keeper", "q87_ann_quant_rescore", "q88_mixture_select",
+    "q89_chunk_dedup", "q90_containment_dedup", "q91_contamination_frac",
+    "q92_quality_funnel", "q93_split_leakage", "q94_incremental_dedup",
+    "q95_curation_manifest", "q96_pair_features", "q98_vocab_coverage",
+    "q99_domain_shift", "q100_bpe_merges", "q101_embedding_neardup_r8",
+    "q102_embedding_neardup_multiprobe")
+
+  private val portable: Seq[String] =
+    (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
+
+  test("the portable surface stays broad (>= 40 queries round-trip through spark.sql)") {
+    assert(portable.size >= 40, s"portable SQL surface shrank to ${portable.size}: $portable")
+    // Exclusions must name real queries — a renamed query must not silently
+    // fall out of the proof.
+    val stale = duckOnly -- SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"exclusion list names unknown queries: $stale")
+  }
 
   portable.foreach { name =>
     test(s"$name: spark.sql(oracle text) == DataFrame result") {

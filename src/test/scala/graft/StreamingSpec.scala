@@ -103,6 +103,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("run() in append mode publishes the newest CLOSED window's top-5 (bounded state)") {
+    // The production variant of the dashboard (VERDICT r4 item 3): append +
+    // watermark eviction instead of complete-mode state re-emission. The
+    // published document comes from a window the watermark has CLOSED, so
+    // its standings are final — and nothing is published while all windows
+    // are still open.
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("append-run").toString
+    val resultPath = s"$dir/analytic.json"
+    val in = MemoryStream[(String, Timestamp)]
+    val q = TweetPipeline.run(spark, in.toDF().toDF("value", "ts"), resultPath,
+      triggerInterval = "100 milliseconds",
+      windowLen = "5 minutes", slide = "5 minutes", outputMode = "append")
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "A", "B"),
+        tweetAt("2024-01-01 00:02:00", "A"))
+      q.processAllAvailable()
+      // Window [00:00, 00:05) still open -> nothing published.
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(resultPath)),
+        "append mode must not publish an open window")
+      // Advance the watermark past 00:05 + 1 min -> the window closes and
+      // its FINAL standings are published exactly once.
+      in.addData(tweetAt("2024-01-01 00:10:00", "zzz"))
+      q.processAllAvailable()
+      val doc = java.nio.file.Files.readString(java.nio.file.Paths.get(resultPath))
+      assert(doc.contains(""""items":[{"hashtag":"A","count":2},{"hashtag":"B","count":1}]"""), doc)
+      assert(!doc.contains("zzz"), s"open-window state leaked into the publish: $doc")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
