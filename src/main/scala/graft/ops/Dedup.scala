@@ -237,6 +237,16 @@ object Dedup {
     * exact-verified — so the result set is unchanged. The verify reuses
     * the same cached sets frame via one array_intersect pass per
     * candidate instead of re-shuffling a (doc, shingle) stream.
+    *
+    * Band-bucket skew: a real corpus with thousands of near-identical
+    * boilerplate documents puts them all in ONE band bucket, making the
+    * bucket join's partition for that key df²-sized — the same hazard
+    * class as hot shingles. Two nets, both proven: preventively, the
+    * df-cap posture of [[hashedShingles]] applies verbatim to band keys
+    * (count keys, broadcast anti-join buckets with df > cap — such a
+    * bucket carries no pairwise signal worth df² candidates); at runtime,
+    * AQE's skew-join splits whatever a cap lets through
+    * (ScaleTechniquesSpec pins the split on an adversarial hot bucket).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,

@@ -162,6 +162,53 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a hot LSH band bucket in the dedup band-join shape (skew=true)") {
+    // The dedup self-joins are uniform on the synthetic corpus (VERDICT r4
+    // item 7) — this is the adversarial case they never exercise: a corpus
+    // where one band bucket holds thousands of documents (e.g. boilerplate
+    // near-identical docs all landing in one MinHash band). The band join
+    // then has one shuffle partition carrying the hot bucket's whole mass,
+    // and AQE's skew-join must split it at runtime. Thresholds are lowered
+    // so spec-sized data crosses them; the mechanism is identical at TB
+    // partition sizes. (The PREVENTIVE analog is the same df-cap posture
+    // [[graft.ops.Dedup.hashedShingles]] uses for hot shingles: count band
+    // keys, broadcast anti-join away buckets with df > cap — a bucket
+    // shared by thousands of docs carries no dedup signal either. AQE is
+    // the runtime net under whatever the cap lets through.)
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Adversarial banding: 300k of 400k docs share band key 0 (the hot
+      // partition measures ~4.9 MB vs a 468 KB median). The hashed-payload
+      // column keeps shuffle blocks incompressible — sequential ids alone
+      // compress below the skew threshold. The right side must reach the
+      // join as a PLAIN shuffle (like the real band self-join, where both
+      // sides are the exploded bands frame): the skew rule's pattern is
+      // SMJ(Sort(shuffle), Sort(shuffle)), so an aggregate between
+      // shuffle and join — whose partitions cannot be split without
+      // breaking the aggregate — correctly disables it.
+      val bands = spark.range(400000).select(col("id").as("doc_id"),
+        when(col("id") < 300000, lit(0L)).otherwise(col("id")).as("bkey"),
+        expr("xxhash64(id)").as("sig"))
+      val reps = spark.range(400000).select(col("id").as("bkey"), col("id").as("rep"))
+      val joined = bands.join(reps, "bkey")
+      // Execute THIS frame's queryExecution (a write/count would plan its
+      // own) so the adaptive plan finalizes and the skew split is visible.
+      assert(joined.collect().length == 400000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "AQE did not split the hot band bucket:\n" + plan.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join result (semantics preserved)") {
     val salted = ops.Skew.q57SaltedJoin(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
