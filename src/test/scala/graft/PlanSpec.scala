@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_dot"), p) // codegen'd signature + verify path
   }
 
+  test("q101/q102 scale geometries keep the equi-join candidate shape (no cartesian)") {
+    // The registered 100 TB postures must plan exactly like q54: candidates
+    // from an equi-join on (table, bucket) — multi-probing widens the
+    // probe-side rows, never the join shape.
+    Seq("q101_embedding_neardup_r8", "q102_embedding_neardup_multiprobe").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("graft_dot"), s"$q missing codegen'd verify:\n$p")
+      assert(p.contains("graft_lsh_buckets"), s"$q missing fused bucket kernel:\n$p")
+    }
+  }
+
   test("q55 ANN scoring joins with a broadcast of the query side") {
     val p = plan("q55_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
