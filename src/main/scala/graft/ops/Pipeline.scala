@@ -504,7 +504,97 @@ object Pipeline {
        ORDER BY id1, id2"""
   }
 
+  /** Per-source duplication report — the first page of any corpus-health
+    * dashboard: how much of each source is exact-duplicated or
+    * near-duplicated (corpus-wide, so cross-source copies count for both
+    * sides). Flags are computed once per document (semi-join against the
+    * >1-copy hash groups; distinct membership in the J ≥ 0.6 pair set)
+    * and aggregated in one groupBy(source) — counts are exact integers,
+    * the single rate division happens once per group, so the report is
+    * bit-stable cross-engine. Scale: the miner dominates (same budget as
+    * q51); the report layer joins ids and flags only.
+    */
+  def q103SourceDupStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val hh = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("hh"))
+    val dupH = hh.groupBy(col("hh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("hh"))
+    val exactIds = hh.join(dupH, Seq("hh"), "left_semi")
+      .select(col("doc_id")).withColumn("is_exact", lit(1L))
+    // Pair mining via the MinHash+LSH path — returns the IDENTICAL
+    // J ≥ 0.6 set as the inverted index (q52 is hash-checked against
+    // q51's oracle) at a fraction of the cost, and it is the miner a
+    // 100 TB health report would feed from (q73 makes the same choice).
+    val nearIds = Dedup.minhashNearDups(docs)
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
+      .distinct().withColumn("is_near", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("is_near"), lit(0L))).as("n_near_dup"))
+      .withColumn("exact_rate_r",
+        round(col("n_exact_dup").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val q103Sql: String =
+    s"""WITH pairs AS (SELECT id1, id2 FROM (${Dedup.q51Pairs})),
+       near AS (SELECT DISTINCT doc_id FROM
+                  (SELECT id1 AS doc_id FROM pairs UNION ALL SELECT id2 FROM pairs)),
+       hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+       duph AS (SELECT h FROM hh GROUP BY h HAVING COUNT(*) > 1),
+       flags AS (SELECT d.doc_id, d.source,
+                        CASE WHEN hh.h IN (SELECT h FROM duph) THEN 1 ELSE 0 END AS is_exact,
+                        CASE WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 1 ELSE 0 END AS is_near
+                 FROM documents d JOIN hh ON d.doc_id = hh.doc_id)
+       SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(is_exact) AS BIGINT) AS n_exact_dup,
+              CAST(SUM(is_near) AS BIGINT) AS n_near_dup,
+              ROUND(CAST(SUM(is_exact) AS DOUBLE) / COUNT(*), 6) AS exact_rate_r
+       FROM flags GROUP BY source ORDER BY source"""
+
+  /** Cross-source duplication matrix: for every near-dup pair, which
+    * source pair produced it — the report that tells a curation team
+    * "source X is largely scraped copies of source Y". Source pairs are
+    * canonicalized (least, greatest) so the matrix is upper-triangular
+    * regardless of id order; the mean Jaccard is averaged in micro-units
+    * (per-pair double rounded once to a BIGINT, summed exactly, divided
+    * once) — the q99 fixed-point trick that makes a cross-engine mean of
+    * doubles deterministic under any aggregation order.
+    */
+  def q104CrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    // MinHash-mined pairs — same set and same jaccard doubles as the
+    // inverted index (see q103's miner note).
+    Dedup.minhashNearDups(t(s, dir, "documents"))
+      .join(docs.as("d1"), col("id1") === col("d1.doc_id"))
+      .join(docs.as("d2"), col("id2") === col("d2.doc_id"))
+      .select(least(col("d1.source"), col("d2.source")).as("source1"),
+        greatest(col("d1.source"), col("d2.source")).as("source2"),
+        expr("CAST(ROUND(jaccard * 1000000) AS BIGINT)").as("jfx"))
+      .groupBy(col("source1"), col("source2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("jfx")).cast("double") / count(lit(1)) / 1000000d, 6).as("avg_jaccard_r"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  val q104Sql: String =
+    s"""WITH pairs AS (SELECT id1, id2, jaccard FROM (${Dedup.q51Pairs}))
+       SELECT LEAST(d1.source, d2.source) AS source1,
+              GREATEST(d1.source, d2.source) AS source2,
+              COUNT(*) AS n_pairs,
+              ROUND(CAST(SUM(CAST(ROUND(jaccard * 1000000) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) / 1000000, 6) AS avg_jaccard_r
+       FROM pairs JOIN documents d1 ON id1 = d1.doc_id
+                  JOIN documents d2 ON id2 = d2.doc_id
+       GROUP BY 1, 2 ORDER BY source1, source2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_source_dup_stats" -> (q103SourceDupStats _),
+    "q104_cross_source_dups" -> (q104CrossSourceDups _),
     "q90_containment_dedup" -> (q90ContainmentDedup _),
     "q91_contamination_frac" -> (q91ContaminationFrac _),
     "q92_quality_funnel" -> (q92QualityFunnel _),
@@ -514,6 +604,8 @@ object Pipeline {
     "q96_pair_features" -> ((s, d) => q96PairFeatures(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q103_source_dup_stats" -> q103Sql,
+    "q104_cross_source_dups" -> q104Sql,
     "q90_containment_dedup" -> q90Sql,
     "q91_contamination_frac" -> q91Sql,
     "q92_quality_funnel" -> q92Sql,

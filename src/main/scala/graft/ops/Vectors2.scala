@@ -117,11 +117,67 @@ object Vectors2 {
               ROUND(list_reduce([x * x FOR x IN err], (a, b) -> a + b) / len(err), 9) AS mse_r
        FROM e ORDER BY vec_id"""
 
+  /** Per-label cluster cohesion report — the embedding-space health check
+    * a curation run publishes next to the dup stats: how tight each label's
+    * cluster is (mean member-to-centroid cosine) and how bad its worst
+    * outlier is (min). Centroids are the q59 fixed-point construction
+    * (order-independent integer sums); each member's cosine is one
+    * deterministic ascending graft_dot fold, rounded ONCE to micro-units
+    * (BIGINT) so the per-label mean/min aggregate exactly under any
+    * partition order — the q99 trick applied to vector space. Scale: one
+    * narrow explode for centroids (partial-aggregated), one broadcast of
+    * k centroids, one groupBy(label).
+    */
+  def q105ClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = t(s, dir, "embeddings")
+    val comps = e.select(col("label"), posexplode(
+      expr("transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000000) AS BIGINT))"))
+      .as(Seq("dim", "fx")))
+    val centroid = comps
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+    e.select(col("label").as("v_label"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .join(broadcast(centroid), col("v_label") === col("label"))
+      .select(col("label"),
+        expr("CAST(ROUND(graft_dot(emb, centroid) * 1000000) AS BIGINT)").as("cfx"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("cfx")).cast("double") / count(lit(1)) / 1000000d, 6).as("cohesion_r"),
+        round(min(col("cfx")).cast("double") / 1000000d, 6).as("min_cos_r"))
+      .orderBy(col("label"))
+  }
+
+  val q105Sql: String =
+    """WITH comps AS (
+         SELECT label, vec_id, i - 1 AS dim,
+                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+         FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       sums AS (SELECT label, dim, SUM(fx) AS sfx, COUNT(*) AS n
+                FROM comps GROUP BY 1, 2),
+       cent AS (SELECT label, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                FROM sums GROUP BY label),
+       scored AS (
+         SELECT e.label,
+                CAST(ROUND(list_reduce([CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                                        FOR i IN generate_series(1, len(e.embedding))],
+                                       (acc, v) -> acc + v) * 1000000) AS BIGINT) AS cfx
+         FROM embeddings e JOIN cent c ON e.label = c.label)
+       SELECT label, COUNT(*) AS n_members,
+              ROUND(CAST(SUM(cfx) AS DOUBLE) / COUNT(*) / 1000000, 6) AS cohesion_r,
+              ROUND(CAST(MIN(cfx) AS DOUBLE) / 1000000, 6) AS min_cos_r
+       FROM scored GROUP BY label ORDER BY label"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q59_centroids" -> (q59Centroids _),
-    "q85_quantize" -> (q85Quantize _))
+    "q85_quantize" -> (q85Quantize _),
+    "q105_cluster_cohesion" -> (q105ClusterCohesion _))
 
   val oracle: Map[String, String] = Map(
     "q59_centroids" -> q59Sql,
-    "q85_quantize" -> q85Sql)
+    "q85_quantize" -> q85Sql,
+    "q105_cluster_cohesion" -> q105Sql)
 }

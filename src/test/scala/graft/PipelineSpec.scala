@@ -46,6 +46,35 @@ class PipelineSpec extends SparkSpec {
     assert(cHigh.count() == 0) // strictly-above threshold excludes the pair
   }
 
+  test("source dup stats and cross-source matrix reconcile with the q51 pair set") {
+    val pairs = ops.Dedup.q51DedupJaccard(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val stats = ops.Pipeline.q103SourceDupStats(spark, sfDir)
+      .select("source", "n_docs", "n_exact_dup", "n_near_dup")
+      .as[(String, Long, Long, Long)].collect()
+    // Near-dup doc count: every id in the pair set counted exactly once.
+    val nearIds = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(stats.map(_._4).sum == nearIds.size,
+      s"per-source near counts must partition the pair-set ids")
+    assert(stats.forall(s => s._3 <= s._2 && s._4 <= s._2))
+    // Matrix totals: every pair lands in exactly one (source1, source2) cell.
+    val matrix = ops.Pipeline.q104CrossSourceDups(spark, sfDir)
+      .select("n_pairs").as[Long].collect()
+    assert(matrix.sum == pairs.length,
+      s"matrix cells must partition the pair set: ${matrix.sum} != ${pairs.length}")
+  }
+
+  test("cluster cohesion: mean bounded by min and both within unit range for normalized vectors") {
+    val rows = ops.Vectors2.q105ClusterCohesion(spark, sfDir)
+      .select("label", "n_members", "cohesion_r", "min_cos_r")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    rows.foreach { case (label, _, cohesion, minCos) =>
+      assert(minCos <= cohesion + 1e-9, s"label $label: min $minCos > mean $cohesion")
+      assert(cohesion <= 1.000001, s"label $label: cosine to centroid above 1")
+    }
+  }
+
   test("incremental dedup only pairs new batch against existing corpus") {
     val out = ops.Pipeline.q94IncrementalDedup(spark, sfDir)
     val docs = graft.sources.Tables.t(spark, sfDir, "documents")

@@ -44,7 +44,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q92_quality_funnel", "q93_split_leakage", "q94_incremental_dedup",
     "q95_curation_manifest", "q96_pair_features", "q98_vocab_coverage",
     "q99_domain_shift", "q100_bpe_merges", "q101_embedding_neardup_r8",
-    "q102_embedding_neardup_multiprobe")
+    "q102_embedding_neardup_multiprobe", "q103_source_dup_stats",
+    "q104_cross_source_dups", "q105_cluster_cohesion")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
