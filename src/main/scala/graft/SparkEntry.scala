@@ -34,7 +34,8 @@ object SparkEntry {
       ops.Vectors2.queries ++
       ops.Multimodal.queries ++
       ops.Curation.queries ++
-      ops.Pipeline.queries
+      ops.Pipeline.queries ++
+      ops.Linkage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       ops.Vectors2.oracle ++
       ops.Multimodal.oracle ++
       ops.Curation.oracle ++
-      ops.Pipeline.oracle
+      ops.Pipeline.oracle ++
+      ops.Linkage.oracle
 }

@@ -659,7 +659,62 @@ object Curation {
                 AS retained_md5
        FROM k GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Cross-document boilerplate strip (the RefinedWeb-flavored repeated-
+    * content filter): any 16-token chunk appearing in MORE THAN ONE
+    * distinct document is dropped from EVERY document. q89 is the gentler
+    * keep-first-occurrence election; this is the harsher policy for
+    * boilerplate headers/footers/licenses that should survive nowhere
+    * (a chunk repeated only WITHIN one document is untouched — that is
+    * q77 repetition's territory). Per document: total chunks, removed
+    * chunks, and the md5 of the retained position-ordered text.
+    *
+    * Scale shape: identical to q89 — per-row chunking, a partial-
+    * aggregated distinct-doc count keyed on the 16-byte chunk hash (never
+    * the chunk text), a hash join back on that hash, and one
+    * document-bounded reconstruction aggregate.
+    */
+  def q109BoilerplateStrip(s: SparkSession, dir: String): DataFrame = {
+    val C = 16
+    val chunks = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $C.0) AS INT) - 1),
+              i -> concat_ws(' ', slice(toks, i * $C + 1, $C)))"""))
+        .as(Seq("pos", "chunk")))
+      .withColumn("ch", md5(col("chunk").cast("binary")))
+    val shared = chunks.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > 1)
+      .select(col("ch"), lit(true).as("is_shared"))
+    chunks.join(shared, Seq("ch"), "left")
+      .withColumn("kept", col("is_shared").isNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(!col("kept"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        md5(expr(
+          "CAST(concat_ws(' ', transform(array_sort(collect_list(IF(kept, struct(pos, chunk), NULL))), e -> e.chunk)) AS BINARY)"))
+          .as("retained_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q89's chunking, distinct-doc frequency per chunk, drop-all
+    * policy, same position-ordered reconstruction (COALESCE to '' so a
+    * fully-stripped document md5s the empty string in both engines).
+    */
+  val q109Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       chunks AS (SELECT doc_id, i AS pos,
+                array_to_string(toks[i*16+1 : i*16+16], ' ') AS chunk
+           FROM d, UNNEST(generate_series(0, CAST(ceil(len(toks) / 16.0) AS BIGINT) - 1)) AS g(i)),
+       freq AS (SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk)
+       SELECT doc_id, COUNT(*) AS n_chunks,
+              CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              md5(COALESCE(string_agg(CASE WHEN df = 1 THEN chunk END, ' ' ORDER BY pos), ''))
+                AS retained_md5
+       FROM chunks JOIN freq USING (chunk) GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_boilerplate_strip" -> (q109BoilerplateStrip _),
     "q73_dup_clusters" -> (q73DupClusters _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_token_shards" -> (q75TokenShards _),
@@ -681,5 +736,6 @@ object Curation {
     "q83_shard_text" -> q83Sql,
     "q86_cluster_keeper" -> q86Sql,
     "q88_mixture_select" -> q88Sql,
-    "q89_chunk_dedup" -> q89Sql)
+    "q89_chunk_dedup" -> q89Sql,
+    "q109_boilerplate_strip" -> q109Sql)
 }

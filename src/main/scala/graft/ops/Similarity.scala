@@ -239,9 +239,15 @@ object Similarity {
     * centroids from a sample and more Lloyd steps if cells drift — the
     * assignment/search jobs are unchanged.
     */
-  def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF coarse quantizer (q58's scaladoc has the full design
+    * rationale): deterministic 4-bit seed cells → fixed-point centroids →
+    * one Lloyd-step centroid ranking. Returns (emb, ranked) where ranked
+    * carries (vec_id, cell, rn): rn = 1 is the cell assignment, rn <=
+    * nProbe the probe list. Reused by q58 (ANN search) and q107
+    * (semantic dedup).
+    */
+  private[ops] def ivfRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
-    val nProbe = 4
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     // Seed partition: one 4-bit sign-cell per vector (4 codegen'd dots).
@@ -269,6 +275,12 @@ object Similarity {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
           .orderBy(col("d").desc, col("cell").asc)))
+    (emb, ranked)
+  }
+
+  def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val nProbe = 4
+    val (emb, ranked) = ivfRanked(s, dir)
     val assigned = ranked.filter(col("rn") === 1)
       .select(col("vec_id"), col("cell"))
       .join(emb, "vec_id")
@@ -297,9 +309,14 @@ object Similarity {
     * (query, neighbor) appears once — `assigned` has one cell per vector
     * and a probe's nProbe cells are distinct — so no DISTINCT is needed.
     */
-  def q58Sql: String = {
+  /** DuckDB replica of [[ivfRanked]] as a CTE prefix (identical seed
+    * cells via shared plane literals, identical fixed-point centroids,
+    * identical centroid-dot ranking and tie-break), ending at the
+    * `assigned` cell-assignment CTE. Shared by q58Sql and q107Sql.
+    */
+  private def ivfCteSql: String = {
     val cell0 = graft.functions.Hyperplanes.duckCellSql("embedding")
-    s"""WITH seeded AS (SELECT vec_id, embedding, $cell0 AS cell0 FROM embeddings),
+    s"""seeded AS (SELECT vec_id, embedding, $cell0 AS cell0 FROM embeddings),
        comps AS (SELECT cell0, i - 1 AS dim,
                         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
                  FROM seeded, UNNEST(generate_series(1, len(embedding))) AS t(i)),
@@ -313,7 +330,11 @@ object Similarity {
                                FOR i IN generate_series(1, len(e.embedding))],
                               (acc, v) -> acc + v) DESC, c.cell ASC) AS rn
          FROM embeddings e CROSS JOIN cent c),
-       assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+       assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1)"""
+  }
+
+  def q58Sql: String = {
+    s"""WITH $ivfCteSql,
        probecells AS (SELECT vec_id AS query_id, cell FROM ranked WHERE rn <= 4 AND vec_id < 20),
        scored AS (
          SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -440,17 +461,69 @@ object Similarity {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Semantic dedup (the SemDeDup shape — cluster, then mine pairs only
+    * within a cluster): embedding near-duplicate pairs generated WITHIN
+    * the IVF coarse-quantizer cells, the cluster-scoped alternative to
+    * q54/q101's hyperplane-bucket candidate generation. Candidate volume
+    * is Σ_cells |cell|² instead of n²; at 100 TB the cell count scales
+    * with the corpus (k ∝ n / target-cell-size, centroids from a sample
+    * plus more Lloyd steps) so per-cell quadratic cost stays bounded —
+    * and unlike the LSH path, candidates are ranked against data-derived
+    * structure, which is why SemDeDup finds the semantic (not just
+    * lexical) duplicates. Verification is the exact fixed-order cosine
+    * fold shared bit-for-bit with the oracle; threshold 0.45 matches the
+    * q54 family so the outputs are comparable.
+    *
+    * Scale shape: one narrow shuffle on cell for the self-join (AQE
+    * splits a hot cell the same way it splits a hot LSH band —
+    * ScaleTechniquesSpec's skew case); the exact cosine runs only on
+    * same-cell pairs.
+    */
+  def q107SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val (emb, ranked) = ivfRanked(s, dir)
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"))
+      .join(emb, "vec_id")
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.cell").as("cell"),
+        expr("graft_dot(a.emb, b.emb)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .select(col("id1"), col("id2"), col("cell"), round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Oracle: the shared IVF CTE prefix, same-cell pairs, same fixed-order
+    * cosine fold and threshold. */
+  def q107Sql: String =
+    s"""WITH $ivfCteSql,
+       pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
+                 FROM assigned a JOIN assigned b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       scored AS (
+         SELECT id1, id2, cell,
+                list_reduce([CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(e1.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM pairs JOIN embeddings e1 ON id1 = e1.vec_id
+                    JOIN embeddings e2 ON id2 = e2.vec_id)
+       SELECT id1, id2, cell, ROUND(cosine, 6) AS cos_r
+       FROM scored WHERE cosine >= 0.45 ORDER BY id1, id2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q84_ann_multiprobe" -> (q84AnnMultiprobe _),
-    "q87_ann_quant_rescore" -> (q87AnnQuantRescore _))
+    "q87_ann_quant_rescore" -> (q87AnnQuantRescore _),
+    "q107_semantic_dedup" -> (q107SemanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q58_ann_ivf" -> q58Sql,
     "q84_ann_multiprobe" -> q84Sql,
-    "q87_ann_quant_rescore" -> q87Sql)
+    "q87_ann_quant_rescore" -> q87Sql,
+    "q107_semantic_dedup" -> q107Sql)
 }

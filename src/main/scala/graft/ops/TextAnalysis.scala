@@ -412,7 +412,128 @@ object TextAnalysis {
             UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)
        GROUP BY 1, 2 ORDER BY cnt DESC, tok1 ASC, tok2 ASC LIMIT 20"""
 
+  /** PII scrub — the redaction pass every public-corpus curation run
+    * applies before training: detect and mask email addresses and phone
+    * numbers, reporting per-document match counts and the md5 of the
+    * scrubbed text (so the oracle verifies the exact redacted bytes
+    * without shipping them). The synthetic corpus carries no PII, so a
+    * deterministic fixture injection (keyed on doc_id, the identical
+    * expression in both engines) plants addresses/numbers for the
+    * scrubber to find — the operator under test is the regex machinery.
+    * Patterns are RE2-compatible (no backrefs/lookaround), so the DuckDB
+    * oracle runs them verbatim; Spark executes them as codegen'd
+    * regexp_count/regexp_replace.
+    *
+    * Scale shape: per-row scan → regex → md5, zero shuffles (the ORDER BY
+    * is presentation) — the pass pipelines inside whole-stage codegen
+    * behind whatever scan feeds it.
+    */
+  def q106PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+    t(s, dir, "documents")
+      .withColumn("pii_text", expr(
+        """CASE WHEN doc_id % 3 = 0
+                THEN concat(text, ' reach user', CAST(doc_id AS STRING),
+                            '@mail.example.com or x', CAST(doc_id AS STRING),
+                            '@corp.example.org today')
+                WHEN doc_id % 3 = 1
+                THEN concat(text, ' call 555-',
+                            lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+                            lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' now')
+                ELSE text END"""))
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("pii_text"), lit(phoneRe)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical injection (VARCHAR casts), identical patterns.
+    * DuckDB's regexp_replace is first-match-only by default — the 'g'
+    * flag makes it replace-all like Spark's; match counts come from
+    * len(regexp_extract_all) since DuckDB has no regexp_count.
+    */
+  val q106Sql: String =
+    """WITH pii AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+                                 '@mail.example.com or x', CAST(doc_id AS VARCHAR),
+                                 '@corp.example.org today')
+                     WHEN doc_id % 3 = 1
+                     THEN concat(text, ' call 555-',
+                                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' now')
+                     ELSE text END AS pii_text
+         FROM documents)
+       SELECT doc_id,
+              len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(pii_text, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+              md5(regexp_replace(regexp_replace(pii_text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+       FROM pii ORDER BY doc_id"""
+
+  /** Corpus bigram log-likelihood score — the CCNet/KenLM-style
+    * perplexity-proxy quality filter with the corpus itself as the LM:
+    * P(w2|w1) = C(w1,w2) / C(w1,·) over adjacent-token bigrams, each
+    * document scored by its mean log-probability (low = incoherent /
+    * outlier token sequences; complements q72's unigram rarity). Every
+    * scored bigram is by construction in the model, so no smoothing mass
+    * is needed. Each term's ln lands ONCE in micro-nats (BIGINT) before
+    * the per-document SUM — the q99 fixed-point trick, making a mean of
+    * logs deterministic cross-engine under any aggregation order.
+    *
+    * Scale shape: one partial-aggregated bigram-count shuffle builds the
+    * model; C(w1,·) is a second partial agg over the MODEL (vocab²-bounded),
+    * not the corpus; scoring joins instances to the model on (w1,w2) —
+    * broadcast here, plain hash join when the vocab outgrows it. Documents
+    * with fewer than two tokens have no bigrams and drop out in both
+    * engines (inner-join semantics).
+    */
+  def q110BigramScore(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2
+                THEN transform(sequence(1, size(toks) - 1),
+                               i -> struct(toks[i - 1] AS w1, toks[i] AS w2))
+                ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cnt2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val cnt1 = cnt2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bi.join(broadcast(cnt2), Seq("w1", "w2"))
+      .join(broadcast(cnt1), Seq("w1"))
+      .withColumn("micro",
+        round(log(col("c12").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6).as("avg_logprob_r"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: same bigrams (generate_series(1, len-1) clipped at 0 — empty
+    * in DuckDB, never descending), same micro-nat rounding per term.
+    */
+  val q110Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       bi AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM d, UNNEST(generate_series(1, greatest(len(toks) - 1, 0))) AS t(i)),
+       cnt2 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+       cnt1 AS (SELECT w1, SUM(c12) AS c1 FROM cnt2 GROUP BY 1),
+       scored AS (SELECT doc_id,
+                         CAST(ROUND(ln(CAST(c12 AS DOUBLE) / c1) * 1000000) AS BIGINT) AS micro
+                  FROM bi JOIN cnt2 USING (w1, w2) JOIN cnt1 USING (w1))
+       SELECT doc_id, COUNT(*) AS n_bigrams,
+              ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_logprob_r
+       FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_pii_scrub" -> (q106PiiScrub _),
+    "q110_bigram_score" -> (q110BigramScore _),
     "q100_bpe_merges" -> (q100BpeMerges _),
     "q99_domain_shift" -> (q99DomainShift _),
     "q98_vocab_coverage" -> (q98VocabCoverage _),
@@ -426,6 +547,8 @@ object TextAnalysis {
     "q64_tfidf" -> (q64Tfidf _))
 
   val oracle: Map[String, String] = Map(
+    "q106_pii_scrub" -> q106Sql,
+    "q110_bigram_score" -> q110Sql,
     "q100_bpe_merges" -> q100Sql,
     "q99_domain_shift" -> q99Sql,
     "q98_vocab_coverage" -> q98Sql,

@@ -26,6 +26,24 @@ class CurationSpec extends SparkSpec {
     byCluster.foreach { case (cid, minMember) => assert(cid == minMember) }
   }
 
+  test("boilerplate strip (q109) reconciles with chunk dedup (q89): same chunking, strictly harsher policy") {
+    val strip = ops.Curation.q109BoilerplateStrip(spark, sfDir)
+      .select("doc_id", "n_chunks", "n_removed").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val dedup = ops.Curation.q89ChunkDedup(spark, sfDir)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(strip.keySet == dedup.keySet)
+    strip.foreach { case (id, (nc, nr)) =>
+      val (nc89, nk89) = dedup(id)
+      assert(nc == nc89, s"doc $id: chunk counts diverge ($nc vs $nc89)")
+      // q89 keeps first occurrences of shared chunks; q109 drops them all,
+      // so q109 can never retain a chunk q89 dropped.
+      assert(nc - nr <= nk89, s"doc $id retains more than keep-first would")
+    }
+    assert(strip.values.map(_._2).sum > 0, "no shared chunks found — vacuous corpus")
+  }
+
   test("connected components propagates min labels across a chain (multi-round) and keeps isolates singleton") {
     val docs = (1L to 6L).toDF("doc_id")
     // 1-2-3-4 chain forces label 1 to travel 3 hops (several propagation

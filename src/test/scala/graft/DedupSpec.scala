@@ -186,6 +186,18 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.7, s"q54 LSH recall $recall vs exact all-pairs")
   }
 
+  test("semantic dedup (q107): sound vs exact all-pairs, scoped to shared cells") {
+    val exact = exactNeardupAllPairs
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sem = ops.Similarity.q107SemanticDedup(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // The exact cosine verify means every emitted pair is a true pair
+    // (no false positives); cell scoping means it may miss cross-cell
+    // pairs — soundness is the invariant, recall is the dial.
+    assert(sem.nonEmpty, "planted near-dup pairs should land in one cell")
+    assert(sem.subsetOf(exact), s"q107 emitted non-pairs: ${sem -- exact}")
+  }
+
   test("ANN LSH results are a subset of brute-force rankings' pairs with decent recall") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

@@ -35,7 +35,8 @@ class PropertySpec extends SparkSpec {
       "Skew" -> ops.Skew.queries, "Dedup" -> ops.Dedup.queries,
       "Similarity" -> ops.Similarity.queries, "TextAnalysis" -> ops.TextAnalysis.queries,
       "Vectors2" -> ops.Vectors2.queries, "Multimodal" -> ops.Multimodal.queries,
-      "Curation" -> ops.Curation.queries, "Pipeline" -> ops.Pipeline.queries)
+      "Curation" -> ops.Curation.queries, "Pipeline" -> ops.Pipeline.queries,
+      "Linkage" -> ops.Linkage.queries)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"query-name collision: union has ${SparkEntry.queries.size} of $perModule names")
