@@ -129,6 +129,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q106 PII scrub is a pure per-row pass: no join, no aggregate, one scan") {
+    val p = plan("q106_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("Aggregate"), p)
+    // The only exchange is the presentation sort's range partitioning.
+    assert(!"Exchange hashpartitioning".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q107 semantic dedup: cell-scoped equi self-join, centroid work broadcast") {
+    val p = plan("q107_semantic_dedup")
+    // The candidate join must key on cell (equi), never all-pairs; the only
+    // nested loop allowed is corpus × 16 broadcast centroids (q58's shape).
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("graft_dot"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n$p")
+  }
+
+  test("q108 fuzzy join: dictionary band join stays an equi join with partial-agg dictionary build") {
+    val p = plan("q108_fuzzy_name_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("q109 boilerplate strip joins on the chunk hash and partial-aggregates the df count") {
+    val p = plan("q109_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q110 bigram score broadcasts the vocab-bounded model to the instance scan") {
+    val p = plan("q110_bigram_score")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q79 capped Jaccard drops hot shingles via a broadcast anti-join") {
     val df = SparkEntry.queries("q79_dedup_jaccard_capped")(spark, sfDir)
     df.collect()
