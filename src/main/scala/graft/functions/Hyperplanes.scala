@@ -99,6 +99,28 @@ object Hyperplanes {
            (acc, v) -> acc + v) > 0 THEN ${1 << (bits - 1 - b)} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** N-bit generalization of [[sparkCellExpr]]: one cell id from the FIRST
+    * `cellBits` planes of the shared pool (so cellBits = 4 produces exactly
+    * sparkCellExpr's table-0 cells). This is the IVF coarse quantizer's
+    * corpus-growth dial — cell count 2^cellBits must scale with n to keep
+    * per-cell quadratic work bounded (the q54→q101 lesson applied to q107's
+    * cluster-scoped mining).
+    */
+  def sparkCellExprN(emb: String, cellBits: Int): String =
+    (0 until cellBits).map { b =>
+      val p = planeArraySql(planes(b), "array(", ")")
+      s"(CASE WHEN graft_dot($emb, $p) > 0D THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB replica of [[sparkCellExprN]] — identical fold and literals. */
+  def duckCellSqlN(emb: String, cellBits: Int): String =
+    (0 until cellBits).map { b =>
+      val p = planeArraySql(planes(b), "[", "]")
+      s"""(CASE WHEN list_reduce(
+           [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
+           (acc, v) -> acc + v) > 0 THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   /** DuckDB SQL: the identical bucket-id list for `emb`, a FLOAT[] column
     * reference. list_reduce's fold (first element as init, ascending) is
     * bit-identical to graft_dot's 0.0-init ascending fold because

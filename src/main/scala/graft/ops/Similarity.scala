@@ -246,13 +246,15 @@ object Similarity {
     * nProbe the probe list. Reused by q58 (ANN search) and q107
     * (semantic dedup).
     */
-  private[ops] def ivfRanked(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[ops] def ivfScored(s: SparkSession, dir: String,
+                             cellBits: Int = 4): (DataFrame, DataFrame) = {
     graft.functions.VectorExpressions.register(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    // Seed partition: one 4-bit sign-cell per vector (4 codegen'd dots).
+    // Seed partition: one cellBits-bit sign-cell per vector (cellBits
+    // codegen'd dots); cellBits = 4 reproduces q58's original 16 cells.
     val seeded = emb.withColumn("cell0",
-      expr(graft.functions.Hyperplanes.sparkCellExpr("emb")))
+      expr(graft.functions.Hyperplanes.sparkCellExprN("emb", cellBits)))
     // Fixed-point per-cell centroid (exact integer sums — deterministic).
     val cents = seeded
       .select(col("cell0"), posexplode(
@@ -269,13 +271,23 @@ object Similarity {
     // hash join each for the corpus assignment and the 20 probes).
     // rn=1 is the cell assignment; rn<=nProbe on the probe subset is the
     // cell list to search.
-    val ranked = emb.crossJoin(broadcast(cents))
+    val scored = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell"),
         expr("graft_dot(emb, centroid)").as("d"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("d").desc, col("cell").asc)))
-    (emb, ranked)
+    (emb, scored)
+  }
+
+  /** [[ivfScored]] plus the per-vector centroid ranking window (rn = 1 is
+    * the assignment, rn <= nProbe the probe list). q58 needs the full
+    * ranking; assignment-only consumers (q107/q111) should aggregate
+    * [[ivfScored]] directly instead of sorting n·2^cellBits rows.
+    */
+  private[ops] def ivfRanked(s: SparkSession, dir: String,
+                             cellBits: Int = 4): (DataFrame, DataFrame) = {
+    val (emb, scored) = ivfScored(s, dir, cellBits)
+    (emb, scored.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+        .orderBy(col("d").desc, col("cell").asc))))
   }
 
   def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -314,8 +326,10 @@ object Similarity {
     * identical centroid-dot ranking and tie-break), ending at the
     * `assigned` cell-assignment CTE. Shared by q58Sql and q107Sql.
     */
-  private def ivfCteSql: String = {
-    val cell0 = graft.functions.Hyperplanes.duckCellSql("embedding")
+  private def ivfCteSql: String = ivfCteSql(4)
+
+  private def ivfCteSql(cellBits: Int): String = {
+    val cell0 = graft.functions.Hyperplanes.duckCellSqlN("embedding", cellBits)
     s"""seeded AS (SELECT vec_id, embedding, $cell0 AS cell0 FROM embeddings),
        comps AS (SELECT cell0, i - 1 AS dim,
                         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
@@ -479,10 +493,27 @@ object Similarity {
     * ScaleTechniquesSpec's skew case); the exact cosine runs only on
     * same-cell pairs.
     */
-  def q107SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    val (emb, ranked) = ivfRanked(s, dir)
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
+  def q107SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, cellBits = 4)
+
+  /** The dialed form: 2^cellBits cells. Fixing any cell count is a fixed
+    * geometry — at B× the corpus, raise cellBits by log2(B) to hold cell
+    * size (and per-cell quadratic cost) constant; q111 registers the 8-bit
+    * posture oracle-checked, mirroring q101's role for q54.
+    */
+  def semanticDedup(s: SparkSession, dir: String, cellBits: Int): DataFrame = {
+    val (emb, scored) = ivfScored(s, dir, cellBits)
+    // Assignment is an ARGMAX, not a ranking: a partial-aggregated
+    // max(struct(d, -cell)) replaces the full n·2^cellBits-row sort window
+    // (at 8 bits that window was the dominant cost at sf1 — 12.8M rows
+    // through one sort vs a map-side-combined agg). The struct order
+    // (d DESC via max, then cell ASC via the negated field) reproduces
+    // ivfRanked's rn = 1 tie-break exactly, so the oracle's ROW_NUMBER
+    // formulation still matches bit-for-bit.
+    val assigned = scored
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("int").as("cell"))
       .join(emb, "vec_id")
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -494,10 +525,22 @@ object Similarity {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** q107 at the corpus-growth geometry: 256 cells from 8 sign bits. At
+    * this SF the cells are oversplit (the point is the VERIFIED dial, not
+    * the sf0.01 recall — q101's role for q54); the sf1 probe table in
+    * BASELINE.md carries the cost evidence.
+    */
+  def q111SemanticDedupScaled(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, cellBits = 8)
+
   /** Oracle: the shared IVF CTE prefix, same-cell pairs, same fixed-order
     * cosine fold and threshold. */
-  def q107Sql: String =
-    s"""WITH $ivfCteSql,
+  def q107Sql: String = semanticSql(4)
+
+  def q111Sql: String = semanticSql(8)
+
+  private def semanticSql(cellBits: Int): String =
+    s"""WITH ${ivfCteSql(cellBits)},
        pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
                  FROM assigned a JOIN assigned b
                    ON a.cell = b.cell AND a.vec_id < b.vec_id),
@@ -517,7 +560,8 @@ object Similarity {
     "q58_ann_ivf" -> (q58AnnIvf _),
     "q84_ann_multiprobe" -> (q84AnnMultiprobe _),
     "q87_ann_quant_rescore" -> (q87AnnQuantRescore _),
-    "q107_semantic_dedup" -> (q107SemanticDedup _))
+    "q107_semantic_dedup" -> (q107SemanticDedup _),
+    "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _))
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" -> q55Sql,
@@ -525,5 +569,6 @@ object Similarity {
     "q58_ann_ivf" -> q58Sql,
     "q84_ann_multiprobe" -> q84Sql,
     "q87_ann_quant_rescore" -> q87Sql,
-    "q107_semantic_dedup" -> q107Sql)
+    "q107_semantic_dedup" -> q107Sql,
+    "q111_semantic_dedup_scaled" -> q111Sql)
 }

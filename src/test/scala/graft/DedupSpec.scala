@@ -196,6 +196,12 @@ class DedupSpec extends SparkSpec {
     // pairs — soundness is the invariant, recall is the dial.
     assert(sem.nonEmpty, "planted near-dup pairs should land in one cell")
     assert(sem.subsetOf(exact), s"q107 emitted non-pairs: ${sem -- exact}")
+    // The corpus-growth geometry (q111, 256 cells) must stay sound too —
+    // finer cells change WHICH pairs share a cell, never pair truth.
+    val scaled = ops.Similarity.q111SemanticDedupScaled(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(scaled.nonEmpty && scaled.subsetOf(exact),
+      s"q111 emitted non-pairs: ${scaled -- exact}")
   }
 
   test("ANN LSH results are a subset of brute-force rankings' pairs with decent recall") {
