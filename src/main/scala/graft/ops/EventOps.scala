@@ -233,7 +233,101 @@ object EventOps {
        FROM old_s o FULL JOIN new_s n ON o.user_id = n.user_id
        ORDER BY user_id"""
 
+  /** Ordered funnel conversion (view → click → purchase): per user, each
+    * stage's timestamp is the MIN event time STRICTLY AFTER the previous
+    * stage was reached — the standard product-analytics funnel where
+    * out-of-order events don't count. Output is the three-row funnel
+    * report: users reaching each stage and conversion vs stage 1.
+    *
+    * Scale shape: three filtered partial-aggregated groupBys on user_id,
+    * chained by per-user hash joins (the user dimension is tiny relative
+    * to the event log — at 100 TB of events the joins stay key joins on
+    * the aggregated frames, never on raw events). Counts are exact; the
+    * single division per row rounds once.
+    */
+  def q112EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1L))
+      .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2L)))
+      .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3L)))
+    val base = s1.agg(count(lit(1)).as("n1"))
+    counts.crossJoin(broadcast(base))
+      .select(col("stage"), col("n").as("n_users"),
+        round(col("n").cast("double") / col("n1"), 6).as("conv_r"))
+      .orderBy(col("stage"))
+  }
+
+  val q112Sql: String =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY user_id),
+       s2 AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+              WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+       s3 AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id),
+       counts AS (SELECT CAST(1 AS BIGINT) AS stage, COUNT(*) AS n FROM s1
+                  UNION ALL SELECT 2, COUNT(*) FROM s2
+                  UNION ALL SELECT 3, COUNT(*) FROM s3)
+       SELECT stage, n AS n_users,
+              ROUND(CAST(n AS DOUBLE) / (SELECT COUNT(*) FROM s1), 6) AS conv_r
+       FROM counts ORDER BY stage"""
+
+  /** Weekly retention cohorts: users grouped by first-seen week, the
+    * classic (cohort × week-offset) retention triangle with per-cell
+    * distinct-user counts and the rate against cohort size. Weeks are
+    * Monday-truncated in both engines; the offset is exact integer day
+    * arithmetic (never timestamp subtraction).
+    *
+    * Scale shape: first-seen is one partial-aggregated min per user;
+    * (user, week) activity is a distinct over a projected pair; the
+    * cohort join keys on user_id; the final cell aggregation is
+    * partial-aggregated on (cohort_week, week_offset). Nothing touches
+    * raw-event granularity after the first two aggregations.
+    */
+  def q113RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    val active = ev.select(col("user_id"),
+      to_date(date_trunc("week", col("ts"))).as("activity_week")).distinct()
+    active.join(first, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("activity_week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention_r"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q113Sql: String =
+    """WITH first AS (SELECT user_id,
+                    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+             FROM events GROUP BY user_id),
+       sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+       active AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS DATE) AS activity_week
+                  FROM events)
+       SELECT f.cohort_week AS cohort_week,
+              CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS BIGINT) AS week_offset,
+              COUNT(*) AS n_active,
+              ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(s.cohort_size), 6) AS retention_r
+       FROM active a JOIN first f USING (user_id)
+            JOIN sizes s ON f.cohort_week = s.cohort_week
+       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_event_funnel" -> (q112EventFunnel _),
+    "q113_retention_cohorts" -> (q113RetentionCohorts _),
     "q38_session_window" -> (q38SessionWindow _),
     "q46_asof_join" -> (q46AsofJoin _),
     "q47_sessionize" -> (q47Sessionize _),
@@ -242,6 +336,8 @@ object EventOps {
     "q97_snapshot_diff" -> (q97SnapshotDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q112_event_funnel" -> q112Sql,
+    "q113_retention_cohorts" -> q113Sql,
     "q38_session_window" -> q38Sql,
     "q46_asof_join" -> q46Sql,
     "q47_sessionize" -> q47Sql,
