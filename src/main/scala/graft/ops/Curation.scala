@@ -713,6 +713,172 @@ object Curation {
                 AS retained_md5
        FROM chunks JOIN freq USING (chunk) GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Temperature-weighted mixture sampling — the multinomial reweighting
+    * every multi-source pretraining mix uses (mBERT/XLM-R exponentiated
+    * smoothing; α < 1 upweights low-resource sources): source weights
+    * w_s ∝ (token share)^α with α = 0.5, converted to a per-source
+    * KEEP RATE targeting β = 50% of corpus documents, then membership by
+    * the deterministic md5 bucket — the same doc-keyed hash-threshold
+    * trick as [[q80SplitAssign]], so the sample is reproducible and
+    * join-free to audit. Complements [[q88MixtureSelect]]: q88 picks a
+    * quality-greedy prefix per source under a token budget (selection),
+    * this reweights whole sources probabilistically (mixing).
+    *
+    * Fixed-point discipline: token shares and weights live in ppm BIGINTs
+    * and every double is rounded exactly once per stage (share → ppm,
+    * sqrt(share) → 1e3-scaled fx, weight → ppm, rate → ppm); sqrt is
+    * IEEE-exact in both engines, so all seven columns are bit-stable.
+    * Rates above 1 clamp to 1e6 (upsampling is the trainer's job — a
+    * sampler can only keep, so the clamp is the honest semantics and the
+    * report makes it visible).
+    *
+    * Scale: two broadcast scalar frames (corpus totals, weight sum) and
+    * one broadcast join of a |sources|-row rate table against the corpus
+    * stream. The per-source aggregate is PINNED (StorageHandle) because
+    * the scalar crossJoin ladder references it from four plan positions —
+    * without the pin each reference would re-scan and re-aggregate the
+    * corpus; with it the corpus is read once for the rate table and once
+    * for the membership count, and everything between is arithmetic on a
+    * |sources|-row cache. No corpus-sized shuffle at all.
+    */
+  def q116TemperatureMix(s: SparkSession, dir: String,
+                         handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val tok = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bySrc = handle.pin(tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens")))
+    val tot = bySrc.agg(sum(col("src_tokens")).as("tot_tokens"),
+      sum(col("n_docs")).as("tot_docs"))
+    val shares = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share_ppm",
+        expr("CAST(ROUND(src_tokens * 1000000.0 / tot_tokens) AS BIGINT)"))
+      .withColumn("w_fx",
+        expr("CAST(ROUND(SQRT(CAST(share_ppm AS DOUBLE)) * 1000) AS BIGINT)"))
+    val wsum = shares.agg(sum(col("w_fx")).as("w_sum"))
+    val rates = shares.crossJoin(broadcast(wsum))
+      .withColumn("weight_ppm",
+        expr("CAST(ROUND(w_fx * 1000000.0 / w_sum) AS BIGINT)"))
+      .withColumn("rate_ppm",
+        expr("LEAST(CAST(1000000 AS BIGINT), CAST(ROUND(weight_ppm * 0.5 * tot_docs / n_docs) AS BIGINT))"))
+    val kept = tok
+      .join(broadcast(rates.select(col("source"), col("rate_ppm"))), "source")
+      .filter(expr(
+        "CAST(conv(substring(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+      ) < col("rate_ppm"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("src_tokens"), col("share_ppm"),
+        col("weight_ppm"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Oracle: same ppm fixed-point ladder (each ROUND at the same stage),
+    * q80's digit-by-digit md5 bucket with the 'mix:' salt, same clamp.
+    */
+  val q116Sql: String =
+    """WITH tok AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                    FROM documents),
+       by_src AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tok) AS src_tokens
+                  FROM tok GROUP BY source),
+       tot AS (SELECT SUM(src_tokens) AS tot_tokens, SUM(n_docs) AS tot_docs FROM by_src),
+       shares AS (SELECT source, n_docs, src_tokens,
+                         CAST(ROUND(src_tokens * 1000000.0 / tot_tokens) AS BIGINT) AS share_ppm
+                  FROM by_src, tot),
+       wfx AS (SELECT *, CAST(ROUND(SQRT(CAST(share_ppm AS DOUBLE)) * 1000) AS BIGINT) AS w_fx
+               FROM shares),
+       rates AS (SELECT source, n_docs, src_tokens, share_ppm,
+                        CAST(ROUND(w_fx * 1000000.0 / (SELECT SUM(w_fx) FROM wfx)) AS BIGINT) AS weight_ppm
+                 FROM wfx),
+       rated AS (SELECT *, LEAST(CAST(1000000 AS BIGINT),
+                        CAST(ROUND(weight_ppm * 0.5 * (SELECT tot_docs FROM tot) / n_docs) AS BIGINT)) AS rate_ppm
+                 FROM rates),
+       kept AS (SELECT source, COUNT(*) AS n_kept
+                FROM tok JOIN rated USING (source)
+                WHERE list_reduce([strpos('0123456789abcdef',
+                        substring(md5('mix:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                       FOR i IN generate_series(1, 8)]::BIGINT[],
+                      (a, v) -> a * 16 + v) % 1000000 < rate_ppm
+                GROUP BY source)
+       SELECT r.source, r.n_docs, CAST(r.src_tokens AS BIGINT) AS src_tokens,
+              r.share_ppm, r.weight_ppm, r.rate_ppm,
+              CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+       FROM rated r LEFT JOIN kept k USING (source) ORDER BY r.source"""
+
+  /** Fixed-window sequence-packing report — the layout step between
+    * [[q75TokenShards]]'s coarse shard assignment and the trainer: the
+    * corpus is concatenated in deterministic doc_id order and cut into
+    * fixed 256-token training sequences (documents spill across cuts, the
+    * GPT-style "packing" every pretraining run does), and the report says
+    * what each sequence contains — how many documents touch it, how many
+    * BEGIN in it (= EOS/BOS boundaries the trainer will see), which
+    * document leads it, and its fill fraction (1.0 everywhere except the
+    * ragged tail — the attention-mask waste metric).
+    *
+    * Shape: global token offsets via the q75 two-phase prefix sum (block
+    * sums → tiny sequential offsets window → bounded in-block window);
+    * each document explodes to the sequences its [start, end) span
+    * overlaps — output rows = n_docs + n_cuts, NOT tokens, because the
+    * per-sequence overlap length is computed arithmetically from the span
+    * bounds (least/greatest), never by materializing tokens. Everything
+    * is BIGINT except the one rounded fill division.
+    */
+  def q119SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val S = 256L
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("doc_id DIV 100").as("blk"))
+    val offsets = d.groupBy(col("blk")).agg(sum(col("n_tokens")).as("bt"))
+      .select(col("blk").as("o_blk"),
+        coalesce(sum(col("bt")).over(
+          Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"))
+    val spans = d.join(broadcast(offsets), col("blk") === col("o_blk"))
+      .withColumn("start", col("off") + coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("end", col("start") + col("n_tokens"))
+    spans
+      .select(col("doc_id"), col("start"), col("end"),
+        explode(expr(s"sequence(start DIV $S, (end - 1) DIV $S)")).as("seq_id"))
+      .withColumn("overlap",
+        least(col("end"), (col("seq_id") + 1) * S) -
+          greatest(col("start"), col("seq_id") * S))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("overlap")).as("n_tokens"),
+        sum(when(col("start") >= col("seq_id") * S, 1L).otherwise(0L)).as("n_starts"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill_r", round(col("n_tokens").cast("double") / S, 6))
+      .orderBy(col("seq_id"))
+  }
+
+  /** Oracle: the naive single-window prefix sum (q75's equivalence trick),
+    * the same span explode via generate_series, identical integer overlap
+    * arithmetic.
+    */
+  val q119Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                  FROM documents),
+       c AS (SELECT doc_id, n_tokens,
+                    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             FROM d),
+       spans AS (SELECT doc_id, st, st + n_tokens AS en FROM c),
+       ex AS (SELECT doc_id, st, en, CAST(q AS BIGINT) AS seq_id
+              FROM spans, UNNEST(generate_series(CAST(st // 256 AS BIGINT),
+                                                 CAST((en - 1) // 256 AS BIGINT))) AS t(q)),
+       agg AS (SELECT seq_id, COUNT(*) AS n_docs,
+                      SUM(LEAST(en, (seq_id + 1) * 256) - GREATEST(st, seq_id * 256)) AS n_tokens,
+                      SUM(CASE WHEN st >= seq_id * 256 THEN 1 ELSE 0 END) AS n_starts,
+                      MIN(doc_id) AS first_doc
+               FROM ex GROUP BY 1)
+       SELECT seq_id, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+              CAST(n_starts AS BIGINT) AS n_starts, first_doc,
+              ROUND(CAST(n_tokens AS DOUBLE) / 256, 6) AS fill_r
+       FROM agg ORDER BY seq_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_boilerplate_strip" -> (q109BoilerplateStrip _),
     "q73_dup_clusters" -> (q73DupClusters _),
@@ -724,7 +890,9 @@ object Curation {
     "q83_shard_text" -> (q83ShardText _),
     "q86_cluster_keeper" -> (q86ClusterKeeper _),
     "q88_mixture_select" -> (q88MixtureSelect _),
-    "q89_chunk_dedup" -> (q89ChunkDedup _))
+    "q89_chunk_dedup" -> (q89ChunkDedup _),
+    "q116_temperature_mix" -> ((s, d) => q116TemperatureMix(s, d)),
+    "q119_sequence_pack" -> (q119SequencePack _))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
@@ -737,5 +905,7 @@ object Curation {
     "q86_cluster_keeper" -> q86Sql,
     "q88_mixture_select" -> q88Sql,
     "q89_chunk_dedup" -> q89Sql,
-    "q109_boilerplate_strip" -> q109Sql)
+    "q109_boilerplate_strip" -> q109Sql,
+    "q116_temperature_mix" -> q116Sql,
+    "q119_sequence_pack" -> q119Sql)
 }

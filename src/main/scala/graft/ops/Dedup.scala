@@ -602,6 +602,98 @@ object Dedup {
        WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.6
        ORDER BY id1, id2"""
 
+  /** Exact-substring repeated-span report — the span-level dedup signal
+    * from Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022): for every document, find the maximal token spans
+    * whose every 5-token window also occurs elsewhere in the corpus
+    * (another document, or another position of the same document), and
+    * report the span count and the fraction of the document's tokens they
+    * cover. Complements [[q89 chunk dedup|Curation.q89ChunkDedup]]: chunks
+    * are fixed 16-token boundaries (a shifted copy misses), while windows
+    * slide — a duplicated passage is caught at ANY alignment, which is why
+    * ExactSubstr is the production standard for substring-level dedup.
+    *
+    * Shape: positional 5-gram explode → groupBy on the gram's md5 (16-byte
+    * key, never the gram string) keeps keys with total occurrence count
+    * > 1 → semi-join marks duplicated windows → per-document interval
+    * merge of [pos, pos+4] windows via one bounded window function (rows
+    * per partition = windows per document, not corpus-sized) → integer
+    * span stats, one rounded division.
+    *
+    * Scale: the gram-frequency groupBy is the only corpus-wide shuffle and
+    * it moves 16-byte hashes with partial aggregation; hot grams (corpus
+    * boilerplate) are exactly the df-capped-shingle skew case and would
+    * take the same broadcast anti-join posture as [[shingles]] (a gram
+    * repeated everywhere is definitionally a dup — capping only its
+    * PAIRING, never its flag, is semantics-preserving here because the
+    * flag needs count > 1, not the full count).
+    */
+  def q115RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"), col("toks"))
+    val grams = docs
+      .select(col("doc_id"), col("n_tokens"), posexplode(expr(
+        """IF(size(toks) >= 5,
+              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
+              array())""")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("n_tokens"), (col("p") + 1).cast("long").as("pos"),
+        md5(col("gram").cast("binary")).as("gh"))
+    val dupGrams = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("gh"))
+    val dupWindows = grams.join(dupGrams, Seq("gh"), "left_semi")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = dupWindows
+      .withColumn("prev_end",
+        max(col("pos") + 4).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("is_new")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + 4).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        round(coalesce(col("n_dup_tokens"), lit(0L)) * 1.0 / col("n_tokens"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: identical positional 5-grams, count-over-corpus > 1 flag,
+    * identical interval merge (windows touching or overlapping fuse:
+    * pos <= prev_end + 1) via the same two window functions.
+    */
+  val q115Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       grams AS (SELECT doc_id, len(toks) AS n_tokens, CAST(i AS BIGINT) AS pos,
+                        md5(array_to_string(toks[i : i+4], ' ')) AS gh
+                 FROM d, UNNEST(generate_series(1, len(toks) - 4)) AS g(i)),
+       dup AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1),
+       dw AS (SELECT doc_id, n_tokens, pos FROM grams WHERE gh IN (SELECT gh FROM dup)),
+       marked AS (SELECT doc_id, n_tokens, pos,
+                         MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+                  FROM dw),
+       sp AS (SELECT doc_id, n_tokens, pos,
+                     SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM marked),
+       merged AS (SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+                  FROM sp GROUP BY doc_id, span_id),
+       per_doc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                          SUM(e - s + 1) AS n_dup_tokens
+                   FROM merged GROUP BY doc_id)
+       SELECT d2.doc_id, CAST(len(d2.toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+              CAST(COALESCE(p.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+              ROUND(COALESCE(p.n_dup_tokens, 0) * 1.0 / len(d2.toks), 6) AS dup_frac
+       FROM d d2 LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> (q50DedupExact _),
     "q51_dedup_jaccard" -> (q51DedupJaccard _),
@@ -611,7 +703,8 @@ object Dedup {
     "q79_dedup_jaccard_capped" -> (q79DedupJaccardCapped _),
     "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _),
     "q101_embedding_neardup_r8" -> (q101EmbeddingNeardupR8 _),
-    "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _))
+    "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _),
+    "q115_repeated_spans" -> (q115RepeatedSpans _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -624,5 +717,6 @@ object Dedup {
     // verify reproduces the full J >= 0.6 set, so q51's oracle applies.
     "q81_dedup_jaccard_prefix" -> q51Sql,
     "q101_embedding_neardup_r8" -> q101Sql,
-    "q102_embedding_neardup_multiprobe" -> q102Sql)
+    "q102_embedding_neardup_multiprobe" -> q102Sql,
+    "q115_repeated_spans" -> q115Sql)
 }

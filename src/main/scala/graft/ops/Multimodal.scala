@@ -195,13 +195,121 @@ object Multimodal {
               CAST(COUNT(*) FILTER (byte <> 0) AS BIGINT) AS n_nonzero
        FROM b GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Perceptual-hash near-dup over media payloads — the aHash shape
+    * (downsample → threshold against the global mean → 64-bit fingerprint
+    * → hamming pairs), computed over the stub "pixels" (payload bytes =
+    * the document's UTF-8 text, exactly [[mediaTable]]'s payload). This is
+    * the multimodal analog of q53's SimHash text dedup: re-encoded or
+    * lightly-corrupted copies of the same media land within a small
+    * hamming radius while unrelated payloads sit near 32/64.
+    *
+    * Determinism is total-integer: cell index is exact integer division
+    * (pos·64 DIV len), the threshold bit compares cross-multiplied BIGINT
+    * sums (cell_sum·total_len > total_sum·cell_len) so no floating-point
+    * mean ever exists, and the fingerprint packs into four 16-bit band
+    * ints. Candidates come from the SimHash pigeonhole: hamming ≤ 3 over
+    * 4 bands forces ≥ 1 identical band — perfect recall, then exact
+    * hamming verify.
+    *
+    * Scale shape: per-char explode → partial-aggregated (doc, cell) sums
+    * (64 rows/doc into the agg, q65's shape); candidate generation is an
+    * equi self-join on (band, value); verify joins the 4-row band frames
+    * of each side. Nothing is all-pairs.
+    *
+    * Fixture note: the corpus's planted near-dups are token-level edits —
+    * the thing SimHash (q53) catches and position-sensitive perceptual
+    * hashing deliberately does NOT (measured: their phash hamming is
+    * 15–35, indistinguishable from random pairs). What aHash catches is
+    * re-encodes/light corruption of the same media, so the fixture plants
+    * exactly that, q106-style: every doc_id % 20 == 0 gets a byte-exact
+    * copy (hamming 0) and every doc_id % 20 == 10 a 3-byte-corrupted copy
+    * (hamming ≤ 3), both under doc_id + 100000, with the identical
+    * injection expression in the oracle.
+    */
+  def q114MediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val docs = base
+      .unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 20 === 10)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("concat(substring(text, 1, 4), 'zzz', substring(text, 8, length(text)))").as("text")))
+    val cells = docs
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"),
+        expr("CAST(pos AS BIGINT) * 64 DIV len").as("cell"),
+        ascii(col("ch")).cast("long").as("byte"))
+      .groupBy(col("doc_id"), col("cell"))
+      .agg(sum(col("byte")).as("cs"), count(lit(1)).as("cl"))
+    val tot = cells.groupBy(col("doc_id"))
+      .agg(sum(col("cs")).as("ts"), sum(col("cl")).as("tl"))
+    val bands = cells.join(tot, "doc_id")
+      .select(col("doc_id"), (col("cell") / 16).cast("int").as("band"),
+        when(col("cs") * col("tl") > col("ts") * col("cl"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - cell % 16 AS INT))"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("w")).as("bv"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cands
+      .join(bands.as("x"), col("id1") === col("x.doc_id"))
+      .join(bands.as("y"), col("id2") === col("y.doc_id") && col("x.band") === col("y.band"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(expr("bit_count(x.bv ^ y.bv)")).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Oracle: identical integer-only pipeline (ord() over the ASCII text,
+    * same exact-division cells, same cross-multiplied threshold, same
+    * band packing, pigeonhole candidates, bit_count verify).
+    */
+  val q114Sql: String =
+    """WITH media AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+         UNION ALL
+         SELECT doc_id + 100000,
+                concat(substring(text, 1, 4), 'zzz', substring(text, 8, length(text)))
+         FROM documents WHERE doc_id % 20 = 10),
+       chars AS (
+         SELECT doc_id, ((i - 1) * 64) // length(text) AS cell,
+                ord(substring(text, CAST(i AS INT), 1)) AS byte
+         FROM media, UNNEST(generate_series(1, length(text))) AS t(i)),
+       cells AS (SELECT doc_id, cell, SUM(byte) AS cs, COUNT(*) AS cl
+                 FROM chars GROUP BY 1, 2),
+       tot AS (SELECT doc_id, SUM(cs) AS ts, SUM(cl) AS tl FROM cells GROUP BY 1),
+       bits AS (SELECT c.doc_id, CAST(cell // 16 AS INT) AS band,
+                       CASE WHEN cs * tl > ts * cl
+                            THEN (CAST(1 AS BIGINT) << CAST(15 - cell % 16 AS INT))
+                            ELSE 0 END AS w
+                FROM cells c JOIN tot USING (doc_id)),
+       bands AS (SELECT doc_id, band, SUM(w) AS bv FROM bits GROUP BY 1, 2),
+       cands AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+       ham AS (SELECT id1, id2, SUM(bit_count(xor(x.bv, y.bv))) AS h
+               FROM cands JOIN bands x ON id1 = x.doc_id
+                          JOIN bands y ON id2 = y.doc_id AND x.band = y.band
+               GROUP BY 1, 2)
+       SELECT id1, id2, CAST(h AS BIGINT) AS hamming FROM ham
+       WHERE h <= 3 ORDER BY id1, id2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_media_features" -> (q70MediaFeatures _),
     "q71_frame_sample" -> (q71FrameSample _),
-    "q78_media_resize" -> (q78MediaResize _))
+    "q78_media_resize" -> (q78MediaResize _),
+    "q114_media_phash_dedup" -> (q114MediaPhashDedup _))
 
   val oracle: Map[String, String] = Map(
     "q70_media_features" -> q70Sql,
     "q71_frame_sample" -> q71Sql,
-    "q78_media_resize" -> q78Sql)
+    "q78_media_resize" -> q78Sql,
+    "q114_media_phash_dedup" -> q114Sql)
 }

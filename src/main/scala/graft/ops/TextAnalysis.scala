@@ -531,6 +531,150 @@ object TextAnalysis {
               ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_logprob_r
        FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones, k1 = 1.2, b = 0.75)
+    * for a fixed 3-term query — the corpus-search primitive a curation
+    * team uses to find "documents about X" before eyeballing a filter,
+    * and the lexical half of every hybrid (BM25 + ANN) retrieval stack;
+    * complements [[q64Tfidf]], which scores terms per document rather
+    * than documents per query. idf uses the standard
+    * ln((N − df + 0.5)/(df + 0.5) + 1) form (always positive, so
+    * stop-heavy corpora like this fixture still rank).
+    *
+    * Determinism: each per-term contribution is one double expression
+    * rounded once to micro-units; per-document scores are exact BIGINT
+    * sums of those (order-free, the q99 fixed-point trick), ranking
+    * compares the integers, and the single display division happens at
+    * the end.
+    *
+    * Scale: the term filter is a map-side isin on a 3-element literal
+    * list applied directly under the explode (no shuffle sees a
+    * non-query term), so tf is a partial agg over a tiny stream; df and
+    * corpus stats are broadcast scalars; the global top-10 is
+    * TakeOrderedAndProject (limit BEFORE the rank window, which then
+    * runs over 10 rows), never a corpus-sized single-partition sort.
+    */
+  def q117Bm25(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("spark", "merge", "window")
+    val docs = t(s, dir, "documents")
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("fx", expr(
+        """CAST(ROUND(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * 2.2)
+                      / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+                      * 1000000) AS BIGINT)"""))
+      .groupBy(col("doc_id")).agg(sum(col("fx")).as("sfx"))
+      .orderBy(col("sfx").desc, col("doc_id").asc).limit(10)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("sfx").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id"),
+        round(col("sfx").cast("double") / 1000000d, 6).as("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle: identical contribution expression (same association order,
+    * so both engines execute the same IEEE double ops), same micro-unit
+    * rounding, integer ranking.
+    */
+  val q117Sql: String =
+    """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+       stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       c AS (SELECT doc_id,
+                    CAST(ROUND(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                               * (tf * 2.2)
+                               / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+                               * 1000000) AS BIGINT) AS fx
+             FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+       sc AS (SELECT doc_id, SUM(fx) AS sfx FROM c GROUP BY 1),
+       ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY sfx DESC, doc_id) AS BIGINT) AS rank,
+                         doc_id, ROUND(CAST(sfx AS DOUBLE) / 1000000, 6) AS score
+                  FROM sc)
+       SELECT rank, doc_id, score FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
+  /** Hashed linear-classifier quality scoring — the fastText shape every
+    * production quality filter uses (CCNet's LM filter, LLaMA's
+    * Wikipedia-reference classifier): unigram + bigram features hashed
+    * into 4096 buckets, a weight per bucket, mean-pooled margin, sigmoid
+    * score, binary keep verdict. The WEIGHTS here are a deterministic
+    * stand-in (Knuth multiplicative hash of the bucket id — the trained
+    * model isn't shippable in this container, same posture as
+    * [[graft.ops.Multimodal.StubCodec]]); the plumbing under test — the
+    * feature hashing, the hash-bucket weight lookup as pure arithmetic
+    * instead of a 4096-row join, the mean-pooled margin — is exactly what
+    * a real exported model runs, with the weight formula swapped for an
+    * `element_at` on a broadcast literal array.
+    *
+    * Determinism: bucket and weight are all-BIGINT (md5 → 32-bit int →
+    * Knuth multiply mod 2000001, centered), the margin is an exact
+    * integer sum in micro-units, `keep` compares the integer against
+    * zero, and the sigmoid is one double expression rounded once.
+    *
+    * Scale: explode → map (hash + weight arithmetic, no join at all) →
+    * partial-aggregated per-doc sum. One corpus shuffle on doc_id; the
+    * "model" costs zero bytes of state on any executor.
+    */
+  def q118QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val feats = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """concat(toks,
+              IF(size(toks) >= 2,
+                 transform(sequence(1, size(toks) - 1),
+                           i -> concat(toks[i - 1], ' ', toks[i])),
+                 array()))""")).as("f"))
+    feats
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat('feat:', f)), 1, 8), 16, 10) AS BIGINT) % 4096").as("b"))
+      .select(col("doc_id"), (col("b") * 2654435761L % 2000001L - 1000000L).as("w_fx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_fx")).as("margin_fx"))
+      .select(col("doc_id"), col("n_feats"), col("margin_fx"),
+        round(expr(
+          "1.0 / (1.0 + EXP(-(CAST(margin_fx AS DOUBLE) / n_feats / 1000000)))"), 6)
+          .as("score_r"),
+        (col("margin_fx") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: q80's digit-by-digit md5 bucket with the 'feat:' salt, the
+    * identical integer weight formula, and the same single-rounded
+    * sigmoid expression (same association order).
+    */
+  val q118Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       feats AS (SELECT doc_id, unnest(toks) AS f FROM d
+                 UNION ALL
+                 SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+                 FROM d, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)),
+       w AS (SELECT doc_id,
+                    (list_reduce([strpos('0123456789abcdef',
+                         substring(md5('feat:' || f), i, 1)) - 1
+                        FOR i IN generate_series(1, 8)]::BIGINT[],
+                      (a, v) -> a * 16 + v) % 4096)
+                    * 2654435761 % 2000001 - 1000000 AS w_fx
+             FROM feats),
+       agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w_fx) AS margin_fx
+               FROM w GROUP BY 1)
+       SELECT doc_id, n_feats, CAST(margin_fx AS BIGINT) AS margin_fx,
+              ROUND(1.0 / (1.0 + EXP(-(CAST(margin_fx AS DOUBLE) / n_feats / 1000000))), 6)
+                AS score_r,
+              margin_fx > 0 AS keep
+       FROM agg ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_pii_scrub" -> (q106PiiScrub _),
     "q110_bigram_score" -> (q110BigramScore _),
@@ -544,7 +688,9 @@ object TextAnalysis {
     "q61_quality" -> (q61Quality _),
     "q62_token_stats" -> (q62TokenStats _),
     "q63_fingerprint" -> (q63Fingerprint _),
-    "q64_tfidf" -> (q64Tfidf _))
+    "q64_tfidf" -> (q64Tfidf _),
+    "q117_bm25_topk" -> (q117Bm25 _),
+    "q118_quality_classifier" -> (q118QualityClassifier _))
 
   val oracle: Map[String, String] = Map(
     "q106_pii_scrub" -> q106Sql,
@@ -559,5 +705,7 @@ object TextAnalysis {
     "q61_quality" -> q61Sql,
     "q62_token_stats" -> q62Sql,
     "q63_fingerprint" -> q63Sql,
-    "q64_tfidf" -> q64Sql)
+    "q64_tfidf" -> q64Sql,
+    "q117_bm25_topk" -> q117Sql,
+    "q118_quality_classifier" -> q118Sql)
 }

@@ -158,6 +158,34 @@ class CurationSpec extends SparkSpec {
     assert(d3._3 == d3._2 && d3._4 == md5hex((1 to 20).map(i => s"z$i").mkString(" ")))
   }
 
+  test("sequence packing (q119) conserves tokens, starts, and fill") {
+    val seqs = ops.Curation.q119SequencePack(spark, sfDir)
+      .select("seq_id", "n_docs", "n_tokens", "n_starts", "fill_r")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).as[Long].collect()
+    // Token conservation: every corpus token lands in exactly one sequence.
+    assert(seqs.map(_._3).sum == docs.sum)
+    // Every document begins in exactly one sequence.
+    assert(seqs.map(_._4).sum == docs.length)
+    // Sequences are dense from 0; all but the ragged tail are full.
+    assert(seqs.map(_._1).toSeq == (0L until seqs.length).toSeq)
+    seqs.init.foreach { s => assert(s._3 == 256L && s._5 == 1.0, s.toString) }
+    assert(seqs.last._3 <= 256L)
+  }
+
+  test("q116 temperature mix: rates clamp at 1e6 and kept counts track rates") {
+    val rows = ops.Curation.q116TemperatureMix(spark, sfDir)
+      .select("source", "n_docs", "rate_ppm", "n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nDocs, rate, kept) =>
+      assert(rate >= 0 && rate <= 1000000L, s"$src rate $rate out of range")
+      assert(kept <= nDocs, s"$src kept $kept > $nDocs")
+      if (rate == 1000000L) assert(kept == nDocs, s"$src full rate must keep all")
+    }
+  }
+
   test("token shards match a locally recomputed prefix sum and respect the budget") {
     val rows = ops.Curation.q75TokenShards(spark, sfDir)
       .select("lang", "doc_id", "n_tokens", "shard_id")

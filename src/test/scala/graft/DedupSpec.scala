@@ -259,6 +259,22 @@ class DedupSpec extends SparkSpec {
     assert(recall > 0.4, s"IVF recall $recall vs exact top-5")
   }
 
+  test("media phash dedup (q114): every planted byte-exact copy is found at hamming 0") {
+    val pairs = ops.Multimodal.q114MediaPhashDedup(spark, sfDir)
+      .select("id1", "id2", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // Byte-identical payloads MUST hash identically — zero hamming, always
+    // candidate-generated (all four bands equal).
+    val exactIds = graft.sources.Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 20 === 0).select("doc_id").as[Long].collect()
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    exactIds.foreach { id =>
+      assert(found.contains((id, id + 100000L)), s"exact copy of doc $id missed")
+    }
+    val h0 = pairs.filter(p => exactIds.contains(p._1) && p._2 == p._1 + 100000L)
+    assert(h0.forall(_._3 == 0L), "byte-exact copy with nonzero hamming")
+  }
+
   test("approx_count_distinct is within 5% of exact at sf0.001") {
     // q16 now carries the bound in-band (within_bound column, asserted TRUE
     // by the DuckDB oracle at sf0.01); re-assert here at the second sf.

@@ -242,6 +242,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q114 media phash: banded equi self-join, no nested loops, no cartesian") {
+    val p = plan("q114_media_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Candidate generation must key on (band, value) — a hash join.
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q115 repeated spans: semi-join on the gram hash, bounded per-doc window") {
+    val p = plan("q115_repeated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // The duplicated-window mark must be a semi join (grams never widen).
+    assert(p.contains("LeftSemi"), p)
+    // The interval merge partitions by doc_id — never a global window.
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("q116 temperature mix aggregates the corpus once, then meets it via broadcast only") {
+    val p = plan("q116_temperature_mix")
+    assert(!p.contains("CartesianProduct"), p)
+    // The corpus-sized stream may only meet the |sources|-row rate table
+    // via broadcast; no corpus-keyed shuffle join is allowed.
+    assert(!p.contains("SortMergeJoin"), p)
+    // The per-source token aggregate is pinned, so the scalar crossJoin
+    // ladder (tot, w_sum — correctly BroadcastNestedLoopJoin on 1-row
+    // frames) re-reads the cache, never re-scans the corpus: exactly one
+    // parquet scan (the kept-count filter stream) in the final plan.
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"corpus re-scanned ($scans parquet scans):\n$p")
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("q117 BM25 limits before the rank window (TakeOrderedAndProject, 10-row window)") {
+    val p = plan("q117_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q118 classifier inference is join-free: hash + weight are per-row arithmetic") {
+    val p = plan("q118_quality_classifier")
+    assert(!p.contains("Join"), p)
+    // One corpus shuffle only: the per-doc margin aggregation.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q119 sequence packing broadcasts the block-offset table to the span scan") {
+    val p = plan("q119_sequence_pack")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q91 streams the corpus map-side against a broadcast eval shingle set") {
     val p = plan("q91_contamination_frac")
     // The train-shingle × eval-shingle join must be the broadcast: the

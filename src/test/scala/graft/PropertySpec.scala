@@ -51,6 +51,29 @@ class PropertySpec extends SparkSpec {
       s"qNN prefix collision: ${prefixes.diff(prefixes.distinct)}")
   }
 
+  test("q118 arithmetic weight lookup equals an explicit 4096-row model-table join") {
+    // The classifier's scale claim is that the weight lookup is pure
+    // per-row arithmetic instead of a join against an exported model
+    // table; prove the two formulations agree margin-for-margin, so a
+    // real trained model can drop in by swapping formula for table.
+    val model = spark.range(4096).select(col("id").as("b"),
+      (col("id") * 2654435761L % 2000001L - 1000000L).as("w_fx"))
+    val feats = graft.sources.Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """concat(toks, IF(size(toks) >= 2,
+             transform(sequence(1, size(toks) - 1),
+                       i -> concat(toks[i - 1], ' ', toks[i])), array()))""")).as("f"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(concat('feat:', f)), 1, 8), 16, 10) AS BIGINT) % 4096").as("b"))
+    val viaJoin = feats.join(broadcast(model), "b")
+      .groupBy("doc_id").agg(sum("w_fx").as("margin_fx"))
+      .select("doc_id", "margin_fx").as[(Long, Long)].collect().toMap
+    val viaFormula = ops.TextAnalysis.q118QualityClassifier(spark, sfDir)
+      .select("doc_id", "margin_fx").as[(Long, Long)].collect().toMap
+    assert(viaFormula == viaJoin)
+  }
+
   test("top-k is a prefix of the fully sorted counts, for any tag multiset") {
     forAll(tagGen) { tags =>
       val tweets = tags.map(t => s"""{"entities":{"hashtags":[{"text":"$t"}]}}""")

@@ -47,7 +47,9 @@ class SqlFrontendSpec extends SparkSpec {
     "q102_embedding_neardup_multiprobe", "q103_source_dup_stats",
     "q104_cross_source_dups", "q105_cluster_cohesion", "q106_pii_scrub",
     "q107_semantic_dedup", "q109_boilerplate_strip", "q110_bigram_score",
-    "q111_semantic_dedup_scaled", "q113_retention_cohorts")
+    "q111_semantic_dedup_scaled", "q113_retention_cohorts",
+    "q114_media_phash_dedup", "q115_repeated_spans", "q116_temperature_mix",
+    "q117_bm25_topk", "q118_quality_classifier", "q119_sequence_pack")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
