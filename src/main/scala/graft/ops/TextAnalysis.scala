@@ -627,8 +627,14 @@ object TextAnalysis {
     * partial-aggregated per-doc sum. One corpus shuffle on doc_id; the
     * "model" costs zero bytes of state on any executor.
     */
-  def q118QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    val feats = t(s, dir, "documents")
+  /** Library form of [[q118QualityClassifier]]: score any (doc_id, text)
+    * frame — batch or STREAMING (explode and the weight arithmetic are
+    * stateless per-row; the per-doc aggregation is a standard streaming
+    * groupBy, proven in `StreamingSpec`). No presentation sort, so the
+    * caller picks output mode/ordering.
+    */
+  def classifierScore(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """concat(toks,
@@ -636,7 +642,6 @@ object TextAnalysis {
                  transform(sequence(1, size(toks) - 1),
                            i -> concat(toks[i - 1], ' ', toks[i])),
                  array()))""")).as("f"))
-    feats
       .select(col("doc_id"), expr(
         "CAST(conv(substring(md5(concat('feat:', f)), 1, 8), 16, 10) AS BIGINT) % 4096").as("b"))
       .select(col("doc_id"), (col("b") * 2654435761L % 2000001L - 1000000L).as("w_fx"))
@@ -647,8 +652,10 @@ object TextAnalysis {
           "1.0 / (1.0 + EXP(-(CAST(margin_fx AS DOUBLE) / n_feats / 1000000)))"), 6)
           .as("score_r"),
         (col("margin_fx") > 0).as("keep"))
+
+  def q118QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    classifierScore(t(s, dir, "documents").select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
-  }
 
   /** Oracle: q80's digit-by-digit md5 bucket with the 'feat:' salt, the
     * identical integer weight formula, and the same single-rounded

@@ -215,6 +215,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q118's classifier scores a stream identically to batch (same column expressions)") {
+    // The scoring path is stateless per-row arithmetic + one keyed
+    // aggregation, so the SAME library function must run over a stream
+    // unchanged — the curation-filter-on-ingest deployment shape.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val scored = ops.TextAnalysis.classifierScore(in.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory").queryName("stream_scores")
+      .outputMode("complete").start()
+    try {
+      val docs = Seq((1L, "the quick brown fox"), (2L, "merge window spark merge"),
+        (3L, "single"), (4L, "a a a a a a"))
+      in.addData(docs.take(2))
+      q.processAllAvailable()
+      in.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("stream_scores")
+        .select("doc_id", "margin_fx", "score_r", "keep")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      val batch = ops.TextAnalysis.classifierScore(docs.toDF("doc_id", "text"))
+        .select("doc_id", "margin_fx", "score_r", "keep")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("end-to-end streaming pipeline writes the analytic.json document") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(String, Timestamp)]
