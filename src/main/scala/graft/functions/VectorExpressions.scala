@@ -50,7 +50,9 @@ object VectorExpressions {
     ("graft_minhash_bands", classOf[MinHashBandsExpr].getName,
       arity1("graft_minhash_bands", MinHashBandsExpr(_))),
     ("graft_simhash", classOf[SimHashExpr].getName,
-      arity1("graft_simhash", SimHashExpr(_))))
+      arity1("graft_simhash", SimHashExpr(_))),
+    ("graft_ahash", classOf[AHashExpr].getName,
+      arity1("graft_ahash", AHashExpr(_))))
 
   /** Idempotent session registration; exposes every [[builders]] entry in
     * SQL and `expr("graft_...(...)")`. All run inside whole-stage codegen.

@@ -227,6 +227,7 @@ object Multimodal {
     * injection expression in the oracle.
     */
   def q114MediaPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val docs = base
       .unionByName(base.filter(col("doc_id") % 20 === 0)
@@ -234,23 +235,20 @@ object Multimodal {
       .unionByName(base.filter(col("doc_id") % 20 === 10)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("concat(substring(text, 1, 4), 'zzz', substring(text, 8, length(text)))").as("text")))
-    val cells = docs
-      .select(col("doc_id"), length(col("text")).as("len"),
-        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
-      .select(col("doc_id"),
-        expr("CAST(pos AS BIGINT) * 64 DIV len").as("cell"),
-        ascii(col("ch")).cast("long").as("byte"))
-      .groupBy(col("doc_id"), col("cell"))
-      .agg(sum(col("byte")).as("cs"), count(lit(1)).as("cl"))
-    val tot = cells.groupBy(col("doc_id"))
-      .agg(sum(col("cs")).as("ts"), sum(col("cl")).as("tl"))
-    val bands = cells.join(tot, "doc_id")
-      .select(col("doc_id"), (col("cell") / 16).cast("int").as("band"),
-        when(col("cs") * col("tl") > col("ts") * col("cl"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - cell % 16 AS INT))"))
-          .otherwise(lit(0L)).as("w"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(col("w")).as("bv"))
+    // Whole fingerprint per row (graft_ahash, codegen'd — replaces the
+    // per-character explode + two corpus-wide groupBys; the DedupSpec
+    // equivalence test pins it band-for-band to the SQL formulation,
+    // which the oracle still states). Payloads under 4 code points would
+    // emit all-four-bands-zero here where the SQL formulation emits no
+    // row for a cell-less band — degenerate "media" outside the
+    // fixture's 44-char floor, noted for honesty.
+    val bands = docs
+      .select(col("doc_id"), expr("graft_ahash(text)").as("sig"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> struct(
+             CAST(b AS INT) AS band,
+             shiftrightunsigned(sig, CAST(48 - 16 * b AS INT)) & 65535 AS bv))""")).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.bv").as("bv"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))

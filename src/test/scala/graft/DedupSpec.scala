@@ -275,6 +275,36 @@ class DedupSpec extends SparkSpec {
     assert(h0.forall(_._3 == 0L), "byte-exact copy with nonzero hamming")
   }
 
+  test("graft_ahash equals the explode+groupBy aHash formulation band-for-band") {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs
+      .select(col("doc_id"), expr("graft_ahash(text)").as("sig"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3), b -> struct(CAST(b AS INT) AS band,
+             shiftrightunsigned(sig, CAST(48 - 16 * b AS INT)) & 65535 AS bv))""")).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bv"))
+      .as[(Long, Int, Long)].collect().toSet
+    val cells = docs
+      .select(col("doc_id"), length(col("text")).as("len"),
+        posexplode(split(col("text"), "")).as(Seq("pos", "ch")))
+      .select(col("doc_id"), expr("CAST(pos AS BIGINT) * 64 DIV len").as("cell"),
+        ascii(col("ch")).cast("long").as("byte"))
+      .groupBy(col("doc_id"), col("cell"))
+      .agg(sum(col("byte")).as("cs"), count(lit(1)).as("cl"))
+    val tot = cells.groupBy(col("doc_id"))
+      .agg(sum(col("cs")).as("ts"), sum(col("cl")).as("tl"))
+    val viaSql = cells.join(tot, "doc_id")
+      .select(col("doc_id"), (col("cell") / 16).cast("int").as("band"),
+        when(col("cs") * col("tl") > col("ts") * col("cl"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - cell % 16 AS INT))"))
+          .otherwise(lit(0L)).as("w"))
+      .groupBy(col("doc_id"), col("band")).agg(sum(col("w")).as("bv"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(viaExpr == viaSql)
+  }
+
   test("approx_count_distinct is within 5% of exact at sf0.001") {
     // q16 now carries the bound in-band (within_bound column, asserted TRUE
     // by the DuckDB oracle at sf0.01); re-assert here at the second sf.
