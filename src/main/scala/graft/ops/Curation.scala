@@ -879,6 +879,87 @@ object Curation {
               ROUND(CAST(n_tokens AS DOUBLE) / 256, 6) AS fill_r
        FROM agg ORDER BY seq_id"""
 
+  /** Dup-graph centrality: 5 damped PageRank iterations over the
+    * near-dup edge set — the graph-quality prior real curation stacks
+    * compute next to connected components ([[q73DupClusters]]): a
+    * document sitting at the center of a dense duplication cluster is
+    * boilerplate-like and ranks HIGH (a keeper-selection / down-weighting
+    * signal the flat cluster id can't express). Simplified PageRank
+    * (uniform teleport, no dangling redistribution — isolated docs hold
+    * the teleport floor of 0.15), damping 0.85, fixed 5 iterations.
+    *
+    * Determinism is total-integer: ranks live in micro-units (start 1e6);
+    * each contribution is rank DIV degree (floor — all values
+    * non-negative, so Spark's DIV and DuckDB's // agree), each update is
+    * 150000 + (85 · Σ) DIV 100 with identical literal order in both
+    * engines. No double exists anywhere, so 5 chained iterations cannot
+    * drift.
+    *
+    * Scale: edges come from the MinHash miner (q52's sublinear path) and
+    * are PINNED — each of the 5 iterations is one hash join of the edge
+    * list against the previous rank vector (both keyed by src, AQE-
+    * broadcastable when the dup graph is sparse) plus one partial-
+    * aggregated sum keyed by dst. Fixed iteration count means the
+    * composed plan is a 5-stage DAG, not a driver loop over collect();
+    * at a 100 TB corpus you'd materialize each rank vector (the q73
+    * checkpoint posture) — documented, not needed at fixture scale.
+    */
+  def q120DupGraphRank(s: SparkSession, dir: String,
+                       handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val und = Dedup.minhashNearDups(t(s, dir, "documents"), handle = handle)
+      .select(col("id1"), col("id2"))
+    val edges = handle.pin(
+      und.select(col("id1").as("src"), col("id2").as("dst"))
+        .unionByName(und.select(col("id2").as("src"), col("id1").as("dst"))))
+    val deg = handle.pin(edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    var ranks = docs.select(col("doc_id"), lit(1000000L).as("r"))
+    (1 to 5).foreach { _ =>
+      val contrib = edges
+        .join(ranks, col("src") === col("doc_id"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = docs.join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          expr("CAST(150000 + 85 * coalesce(in_sum, CAST(0 AS BIGINT)) DIV 100 AS BIGINT)").as("r"))
+    }
+    docs
+      .join(deg, col("doc_id") === col("src"), "left")
+      .join(ranks, "doc_id")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("degree"),
+        col("r").as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle: the same 5 iterations unrolled as CTEs over the exact
+    * J ≥ 0.6 edge set (== the miner's output, q52-proven), identical
+    * integer ladder at every step.
+    */
+  val q120Sql: String = {
+    val iters = (1 to 5).map { k =>
+      s"""c$k AS (SELECT e.dst, SUM(r.r // d.deg) AS in_sum
+              FROM edges e JOIN r${k - 1} r ON e.src = r.doc_id
+                           JOIN deg d ON e.src = d.src
+              GROUP BY 1),
+       r$k AS (SELECT n.doc_id,
+                      CAST(150000 + (85 * COALESCE(c.in_sum, 0)) // 100 AS BIGINT) AS r
+               FROM nodes n LEFT JOIN c$k c ON n.doc_id = c.dst)"""
+    }.mkString(",\n       ")
+    s"""WITH pairs AS (SELECT id1, id2 FROM (${Dedup.q51Pairs})),
+       nodes AS (SELECT doc_id FROM documents),
+       edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                 UNION ALL SELECT id2, id1 FROM pairs),
+       deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+       r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       $iters
+       SELECT n.doc_id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS degree,
+              r5.r AS rank_micro
+       FROM nodes n LEFT JOIN deg d ON n.doc_id = d.src
+                    JOIN r5 ON n.doc_id = r5.doc_id
+       ORDER BY n.doc_id"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_boilerplate_strip" -> (q109BoilerplateStrip _),
     "q73_dup_clusters" -> (q73DupClusters _),
@@ -892,7 +973,8 @@ object Curation {
     "q88_mixture_select" -> (q88MixtureSelect _),
     "q89_chunk_dedup" -> (q89ChunkDedup _),
     "q116_temperature_mix" -> ((s, d) => q116TemperatureMix(s, d)),
-    "q119_sequence_pack" -> (q119SequencePack _))
+    "q119_sequence_pack" -> (q119SequencePack _),
+    "q120_dup_graph_rank" -> ((s, d) => q120DupGraphRank(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q73_dup_clusters" -> q73Sql,
@@ -907,5 +989,6 @@ object Curation {
     "q89_chunk_dedup" -> q89Sql,
     "q109_boilerplate_strip" -> q109Sql,
     "q116_temperature_mix" -> q116Sql,
-    "q119_sequence_pack" -> q119Sql)
+    "q119_sequence_pack" -> q119Sql,
+    "q120_dup_graph_rank" -> q120Sql)
 }

@@ -186,6 +186,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q120 dup-graph rank: teleport floor for isolated docs, exact fixpoint for symmetric pairs") {
+    val rows = ops.Curation.q120DupGraphRank(spark, sfDir)
+      .select("doc_id", "degree", "rank_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r._1 -> r).toMap
+    // Isolated documents receive exactly the teleport mass and nothing else.
+    rows.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == 150000L, s"isolated doc ${r._1} rank ${r._3}")
+    }
+    assert(rows.forall(_._3 >= 150000L))
+    // A mutually-exclusive degree-1 pair is a fixpoint: each hands its
+    // whole rank to the other, so 150000 + 85% of 1e6 = 1e6 every round.
+    val edges = ops.Dedup.minhashNearDups(
+        graft.sources.Tables.t(spark, sfDir, "documents"))
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity).view.mapValues(_.size)
+    edges.filter(e => deg(e._1) == 1 && deg(e._2) == 1).foreach { e =>
+      assert(byId(e._1)._3 == 1000000L && byId(e._2)._3 == 1000000L,
+        s"symmetric pair $e not at fixpoint")
+    }
+  }
+
   test("token shards match a locally recomputed prefix sum and respect the budget") {
     val rows = ops.Curation.q75TokenShards(spark, sfDir)
       .select("lang", "doc_id", "n_tokens", "shard_id")

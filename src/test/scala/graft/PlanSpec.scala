@@ -293,6 +293,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q120 dup-graph rank composes 5 iterations as key joins (no cartesian, no nested loop)") {
+    val p = plan("q120_dup_graph_rank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q91 streams the corpus map-side against a broadcast eval shingle set") {
     val p = plan("q91_contamination_frac")
     // The train-shingle × eval-shingle join must be the broadcast: the

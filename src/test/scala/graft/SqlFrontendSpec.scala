@@ -49,7 +49,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q107_semantic_dedup", "q109_boilerplate_strip", "q110_bigram_score",
     "q111_semantic_dedup_scaled", "q113_retention_cohorts",
     "q114_media_phash_dedup", "q115_repeated_spans", "q116_temperature_mix",
-    "q117_bm25_topk", "q118_quality_classifier", "q119_sequence_pack")
+    "q117_bm25_topk", "q118_quality_classifier", "q119_sequence_pack",
+    "q120_dup_graph_rank")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
