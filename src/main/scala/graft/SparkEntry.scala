@@ -35,7 +35,8 @@ object SparkEntry {
       ops.Multimodal.queries ++
       ops.Curation.queries ++
       ops.Pipeline.queries ++
-      ops.Linkage.queries
+      ops.Linkage.queries ++
+      ops.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       ops.Multimodal.oracle ++
       ops.Curation.oracle ++
       ops.Pipeline.oracle ++
-      ops.Linkage.oracle
+      ops.Linkage.oracle ++
+      ops.Sketches.oracle
 }

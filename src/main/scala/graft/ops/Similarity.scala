@@ -554,7 +554,90 @@ object Similarity {
        SELECT id1, id2, cell, ROUND(cosine, 6) AS cos_r
        FROM scored WHERE cosine >= 0.45 ORDER BY id1, id2"""
 
+  /** Contrastive hard-negative mining — the retrieval-training composition
+    * of the ANN machinery: for each query vector, the k highest-cosine
+    * candidates that are NOT near-duplicates (cosine < `dupCos`, q107's
+    * semantic-dedup threshold). Dups/positives train nothing; random
+    * negatives are too easy; the value is exactly this "most similar but
+    * not the same" band, mined per query.
+    *
+    * Shape: q84's multi-probe candidate generation (home bucket + one-bit
+    * flips per table — recall floor without re-hashing the corpus), exact
+    * rescoring on candidates only, the dup exclusion as a per-candidate
+    * filter BEFORE the top-k window. Both engines compute identical
+    * buckets from the shared plane literals, so the output hash-matches.
+    *
+    * Scale: inherits q84's candidate volume (probes · n / 2^bits per
+    * table); exclusion adds zero shuffles; per-query top-k is
+    * WindowGroupLimit-pruned. At corpus growth the bits dial (q101/q111
+    * lesson) holds candidate volume flat.
+    */
+  def hardNegatives(emb: DataFrame, k: Int = 5, dupCos: Double = 0.45,
+                    nQueries: Int = 20): DataFrame = {
+    val e = emb
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val tabbed = e
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+    val probes = tabbed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("tbl"), explode(
+        expr("array(bucket, bucket ^ 8, bucket ^ 4, bucket ^ 2, bucket ^ 1)")).as("bucket"))
+    val cands = broadcast(probes.as("q"))
+      .join(tabbed.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
+      .distinct()
+    cands
+      .join(broadcast(e.filter(col("vec_id") < nQueries).withColumnRenamed("emb", "q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id")
+      .join(e.withColumnRenamed("emb", "n_emb"), col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_dot(q_emb, n_emb)").as("cosine"))
+      .filter(col("cosine") < dupCos) // dup/positive exclusion, pre-window
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def q124HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    hardNegatives(t(s, dir, "embeddings"))
+  }
+
+  /** q84's oracle with the dup-exclusion predicate before the ranking. */
+  def q124Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id < 20
+           AND list_contains([n.sig[i] = q.sig[i] OR n.sig[i] = xor(q.sig[i], 8)
+                              OR n.sig[i] = xor(q.sig[i], 4) OR n.sig[i] = xor(q.sig[i], 2)
+                              OR n.sig[i] = xor(q.sig[i], 1)
+                              FOR i IN generate_series(1, $nt)], true)),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(a.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM cands c JOIN embeddings a ON c.query_id = a.vec_id
+                      JOIN embeddings b ON c.neighbor_id = b.vec_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored WHERE cosine < 0.45)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_hard_negatives" -> (q124HardNegatives _),
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
     "q58_ann_ivf" -> (q58AnnIvf _),
@@ -564,6 +647,7 @@ object Similarity {
     "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _))
 
   val oracle: Map[String, String] = Map(
+    "q124_hard_negatives" -> q124Sql,
     "q55_ann_bruteforce" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,
     "q58_ann_ivf" -> q58Sql,

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables.t
+
+/** Sketch-gated and sampling operators for corpus statistics at scale.
+  *
+  * q121 — heavy hitters (frequent terms) with a Count-Min gate
+  * (Cormode & Muthukrishnan, J.Alg 2005): the exact formulation shuffles
+  * `partitions x vocabulary` partially-aggregated rows; the sketch gate
+  * first folds the token stream into a d x w cell grid (one tiny
+  * map-side-combined shuffle, <= d*w rows TOTAL regardless of corpus
+  * size), then re-scans with a broadcast of the sketch and lets only
+  * occurrences whose Count-Min estimate clears the threshold into the
+  * exact aggregation. Count-Min never underestimates, so the gate passes
+  * every true heavy hitter — the output is EXACTLY the exact-count answer
+  * (the DuckDB oracle is the plain groupBy-having query), while the
+  * second shuffle carries candidates only, not the vocabulary.
+  *
+  * q122 — weighted sampling via deterministic discretized priorities
+  * (the Efraimidis–Spirakis A-ES scheme with an integer-arithmetic key):
+  * priority = (u * 1e6) div weight where u is a 32-bit md5-derived
+  * uniform, so heavier documents get smaller priorities and the k
+  * smallest priorities per stratum are a weight-proportional sample.
+  * All-integer keys make the selection bit-identical in both engines —
+  * no transcendental (-ln u / w) whose libm rounding could diverge.
+  */
+object Sketches {
+
+  /** Count-Min depth (independent hash rows) and width (buckets/row). */
+  val cmDepth = 4
+  val cmWidth = 256
+
+  /** Bucket of `tok` in sketch row `i`: xxhash64 over (token, row-index),
+    * mod w. Codegen'd, no UDF.
+    */
+  private def bucketCol(tok: Column, i: Int): Column =
+    pmod(xxhash64(tok, lit(i)), lit(cmWidth)).cast("int")
+
+  private def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+
+  /** Tokens whose corpus frequency is at least total/`ratio`, with exact
+    * counts — computed through the Count-Min gate described above.
+    *
+    * Pass 1 folds the stream into the d x w sketch; the collect is of the
+    * SKETCH (bounded: d*w cells, ~8 KB), never of data — same budget class
+    * as a broadcast variable, and the stream's total token count falls out
+    * of row 0 for free. Pass 2 filters map-side on the broadcast estimate
+    * (`least` over d literal-map lookups) and exact-counts the survivors:
+    * that shuffle is `partitions x candidates`, vs `partitions x vocab`
+    * for the ungated query. On a 100 TB corpus the vocabulary is
+    * billions-of-types Zipfian while candidates are the handful above the
+    * mass threshold — the gate is what makes the report a light query
+    * instead of a vocabulary materialization.
+    */
+  def heavyHitters(docs: DataFrame, ratio: Int = 30): DataFrame = {
+    val toks = tokenStream(docs)
+    val bucketed = toks.select(posexplode(
+      array((0 until cmDepth).map(i => bucketCol(col("tok"), i)): _*))
+      .as(Seq("row", "bucket")))
+    val cells = bucketed.groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val total = cells.iterator.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
+    val maps: Seq[Map[Int, Long]] = (0 until cmDepth).map { i =>
+      cells.iterator.filter(_.getInt(0) == i)
+        .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    }
+    val est = least((0 until cmDepth).map { i =>
+      coalesce(try_element_at(typedLit(maps(i)), bucketCol(col("tok"), i)), lit(0L))
+    }: _*)
+    toks
+      .filter(est * lit(ratio.toLong) >= lit(total)) // map-side CM gate
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(ratio.toLong) >= lit(total))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  def q121HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(t(s, dir, "documents"))
+
+  /** Oracle = the EXACT heavy-hitter query: the sketch is a gate, not an
+    * approximation of the output.
+    */
+  val q121Sql: String =
+    """WITH toks AS (
+         SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       toks2 AS (SELECT tok FROM toks WHERE len(tok) > 0),
+       tot AS (SELECT COUNT(*) AS total FROM toks2),
+       c AS (SELECT tok, COUNT(*) AS cnt FROM toks2 GROUP BY tok)
+       SELECT tok, cnt FROM c, tot WHERE cnt * 30 >= total
+       ORDER BY cnt DESC, tok"""
+
+  /** 32-bit md5-derived uniform for doc_id under a salt — the q80 split
+    * construction with its own salt, so sampling is independent of the
+    * train/val/test assignment.
+    */
+  private[ops] def sampleUniformCol: Column =
+    expr("CAST(conv(substring(md5(concat('sample:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+
+  /** Per-source weighted sample: the k documents with the smallest
+    * discretized A-ES priority (u * 1e6 div weight), weight = n_chars —
+    * i.e. a deterministic length-proportional sample per stratum.
+    *
+    * Scale: the priority is a pure per-row map; per-stratum top-k is a
+    * rank window that WindowGroupLimit prunes map-side to k rows per
+    * partition per source before the shuffle — never a source-sized sort.
+    */
+  def weightedSample(docs: DataFrame, k: Int = 20): DataFrame = {
+    val pri = docs
+      .withColumn("u", sampleUniformCol)
+      .withColumn("priority", expr("u * 1000000 DIV n_chars"))
+    pri
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def q122WeightedSample(s: SparkSession, dir: String): DataFrame =
+    weightedSample(t(s, dir, "documents"))
+
+  val q122Sql: String =
+    """WITH pri AS (
+         SELECT source, doc_id, n_chars,
+                list_reduce([strpos('0123456789abcdef',
+                              substring(md5('sample:' || CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                             FOR i IN generate_series(1, 8)]::BIGINT[],
+                            (a, v) -> a * 16 + v) * 1000000 // n_chars AS priority
+         FROM documents),
+       ranked AS (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                        ORDER BY priority, doc_id) AS BIGINT) AS rk
+         FROM pri)
+       SELECT source, rk, doc_id, n_chars, priority
+       FROM ranked WHERE rk <= 20 ORDER BY source, rk"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_heavy_hitters" -> q121HeavyHitters,
+    "q122_weighted_sample" -> q122WeightedSample)
+
+  def oracle: Map[String, String] = Map(
+    "q121_heavy_hitters" -> q121Sql,
+    "q122_weighted_sample" -> q122Sql)
+}

@@ -682,7 +682,65 @@ object TextAnalysis {
               margin_fx > 0 AS keep
        FROM agg ORDER BY doc_id"""
 
+  /** Character-entropy quality gate — the CCNet/Gopher-family "garbage
+    * text" signal the suite doesn't have yet: Shannon entropy of the
+    * per-document CHARACTER distribution, H = -Σ p·ln p. Encoding junk,
+    * repeated-char padding, and binary-pasted-as-text all crater H, while
+    * natural text sits near the language's char entropy (~2.6 nats for
+    * space-separated lowercase English), so `low_entropy` flags the
+    * degenerate tail a token-level filter misses.
+    *
+    * Determinism is the q99 micro-nat trick: each char's p·ln p lands
+    * ONCE as round(·1e6) BIGINT, the per-doc sum is exact-integer — the
+    * only float op (ln of a small rational) is bit-identical cross-engine
+    * at micro-rounding.
+    *
+    * Scale: the char explode multiplies rows by doc length, but flows
+    * straight into a (doc_id, ch) partial aggregate (alphabet-bounded per
+    * doc, so combine crushes it map-side); doc totals come from the
+    * already-tiny per-char counts, not a second scan. One shuffle pair,
+    * both on doc_id — no vocabulary-sized state anywhere.
+    */
+  def charEntropy(docs: DataFrame, lowMicroNats: Long = 2500000L): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("len"), count(lit(1)).as("n_distinct_chars"))
+    counts.join(totals, "doc_id")
+      .withColumn("p", col("cnt").cast("double") / col("len"))
+      .withColumn("micro", round(col("p") * log(col("p")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("n_distinct_chars"))
+      .agg((-sum(col("micro"))).as("ent_micro"))
+      .withColumn("low_entropy", col("ent_micro") < lowMicroNats)
+      .select(col("doc_id"), col("n_distinct_chars"), col("ent_micro"),
+        col("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  def q123CharEntropy(s: SparkSession, dir: String): DataFrame =
+    charEntropy(t(s, dir, "documents"))
+
+  val q123Sql: String =
+    """WITH chars AS (
+         SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents),
+       chars2 AS (SELECT doc_id, ch FROM chars WHERE len(ch) > 0),
+       counts AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM chars2 GROUP BY 1, 2),
+       totals AS (SELECT doc_id, SUM(cnt) AS len, COUNT(*) AS n_distinct_chars
+                  FROM counts GROUP BY 1),
+       terms AS (
+         SELECT c.doc_id, t.n_distinct_chars,
+                CAST(ROUND(CAST(c.cnt AS DOUBLE) / t.len
+                           * ln(CAST(c.cnt AS DOUBLE) / t.len) * 1e6) AS BIGINT) AS micro
+         FROM counts c JOIN totals t ON c.doc_id = t.doc_id)
+       SELECT doc_id, n_distinct_chars, CAST(-SUM(micro) AS BIGINT) AS ent_micro,
+              CAST(-SUM(micro) AS BIGINT) < 2500000 AS low_entropy
+       FROM terms GROUP BY doc_id, n_distinct_chars ORDER BY doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_char_entropy" -> (q123CharEntropy _),
     "q106_pii_scrub" -> (q106PiiScrub _),
     "q110_bigram_score" -> (q110BigramScore _),
     "q100_bpe_merges" -> (q100BpeMerges _),
@@ -700,6 +758,7 @@ object TextAnalysis {
     "q118_quality_classifier" -> (q118QualityClassifier _))
 
   val oracle: Map[String, String] = Map(
+    "q123_char_entropy" -> q123Sql,
     "q106_pii_scrub" -> q106Sql,
     "q110_bigram_score" -> q110Sql,
     "q100_bpe_merges" -> q100Sql,

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sketches, Similarity, TextAnalysis}
+
+/** Properties of the round-5 sketch/sampling/mining additions that the
+  * oracle's hash-match can't express on its own:
+  *   - the Count-Min gate is SOUND (never drops a true heavy hitter) and
+  *     the sketch never underestimates — the two halves of the
+  *     Cormode–Muthukrishnan guarantee the q121 design leans on;
+  *   - the weighted sample is partitioning-invariant and weight-monotone;
+  *   - char entropy hits its closed-form extremes;
+  *   - hard negatives respect the dup-exclusion band and rank contract.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("q121 gate soundness: sketch-gated output == exact heavy hitters, incl. a threshold-boundary token") {
+    // 'hot' is ~45% of mass; 'warm' lands EXACTLY on the threshold
+    // boundary (cnt * ratio == total tokens = 135) — the inclusive >=
+    // must keep it in both the gate and the final filter.
+    val docs = docsOf(
+      (1L, Array.fill(60)("hot").mkString(" ")),
+      (2L, (1 to 30).map(i => s"tail$i").mkString(" ") + " " + Array.fill(15)("warm").mkString(" ")),
+      (3L, (31 to 60).map(i => s"tail$i").mkString(" ")))
+    val got = Sketches.heavyHitters(docs, ratio = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val total = toks.count()
+    val exact = toks.groupBy("tok").count()
+      .filter(col("count") * 10 >= total)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == exact, s"gated=$got exact=$exact")
+    assert(got.contains("hot") && got.contains("warm"))
+  }
+
+  test("q121 overestimate property: the CM estimate is >= the exact count for every token") {
+    // 3000 types >> w=256 buckets, so every bucket carries collisions —
+    // the estimate must still never fall below truth, only above it.
+    val docs = docsOf((1 to 300).map(i =>
+      (i.toLong, (1 to 10).map(j => s"w${(i * 7 + j * 13) % 3000}").mkString(" "))): _*)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val d = Sketches.cmDepth
+    val w = Sketches.cmWidth
+    def bucket(i: Int) = pmod(xxhash64(col("tok"), lit(i)), lit(w)).cast("int")
+    val cells = toks.select(posexplode(array((0 until d).map(bucket): _*))
+      .as(Seq("row", "bucket")))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+    assert(cells.count() <= d.toLong * w) // bounded-state claim
+    val sketch = cells.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val perTok = toks.groupBy("tok").count()
+      .select(col("tok") +: col("count") +: (0 until d).map(i => bucket(i).as(s"b$i")): _*)
+      .collect()
+    assert(perTok.length > w) // collisions guaranteed
+    val under = perTok.filter { r =>
+      val est = (0 until d).map(i => sketch.getOrElse((i, r.getInt(2 + i)), 0L)).min
+      est < r.getLong(1)
+    }
+    assert(under.isEmpty, s"CM underestimated ${under.length} tokens, e.g. ${under.take(3).mkString(",")}")
+  }
+
+  test("q122 weighted sample is partitioning-invariant and weight-monotone") {
+    val docs = docsOf((1 to 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "x" * 400 else "x" * 50)): _*)
+    val a = Sketches.weightedSample(docs, k = 40).collect().toSeq
+    val b = Sketches.weightedSample(docs.repartition(7), k = 40).collect().toSeq
+    assert(a == b) // determinism under any physical layout
+    assert(a.size == 40)
+    // 8x-weight docs must dominate ~8/9 of the sample; a loose floor
+    // proves the priority actually uses the weight.
+    val heavy = a.count(_.getAs[Long]("n_chars") == 400L)
+    assert(heavy >= 30, s"heavy=$heavy of 40")
+  }
+
+  test("q123 entropy extremes: single-char text scores 0; uniform alphabets score ln(k) micro-nats") {
+    // ln(8) = 2.08 nats sits BELOW the 2.5 low-entropy line (8 distinct
+    // chars is still degenerate); ln(16) = 2.77 clears it.
+    val docs = docsOf((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "abcdefghijklmnop"))
+    val got = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((1L, 0L, true)))
+    // Per-term micro-rounding, THEN the sum — matching the operator.
+    def lnK(k: Int) = -k * math.round(1.0 / k * math.log(1.0 / k) * 1e6)
+    assert(got(2L) == ((8L, lnK(8), true)), s"${got(2L)} != (8, ${lnK(8)}, true)")
+    assert(got(3L) == ((16L, lnK(16), false)), s"${got(3L)} != (16, ${lnK(16)}, false)")
+  }
+
+  test("q124 hard negatives: dup band excluded, ranks contiguous, a planted duplicate never surfaces") {
+    graft.functions.VectorExpressions.register(spark)
+    // Plant an exact copy of query vector 5 under a fresh id: identical
+    // buckets in every table guarantee it's a candidate, and cosine
+    // |v5|^2 >= 0.45 puts it squarely in the dup band the miner must drop.
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val clone = base.filter(col("vec_id") === 5)
+      .withColumn("vec_id", lit(99999L))
+    val emb = base.unionByName(clone)
+    val norm5 = base.filter(col("vec_id") === 5)
+      .selectExpr("aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0D, (a, v) -> a + v) AS n")
+      .head().getDouble(0)
+    assert(norm5 >= 0.45, s"fixture norm |v5|^2 = $norm5 too small to land in the dup band")
+    val hn = Similarity.hardNegatives(emb).collect()
+    assert(hn.nonEmpty)
+    assert(hn.forall(_.getDouble(3) < 0.45)) // no dup/positive leaks through
+    hn.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to rows.length.toLong),
+        s"ranks not contiguous for query $q")
+    }
+    val hnPairs = hn.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(!hnPairs.contains((5L, 99999L)), "planted duplicate surfaced as a hard negative")
+  }
+}
