@@ -304,4 +304,32 @@ class PlanSpec extends SparkSpec {
     // big side never shuffles on the shingle string.
     assert("BroadcastHashJoin \\[shingle".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q121 heavy hitters: the CM gate filters BEFORE the exact aggregate, all map-side arithmetic") {
+    val p = plan("q121_heavy_hitters")
+    // The token stream meets the sketch as a per-row Filter (literal-map
+    // lookups — no join against a sketch table), below the partial
+    // HashAggregate: the vocabulary-sized shuffle never exists.
+    assert(!p.contains("Join"), "sketch lookup must not be a join:\n" + p)
+    val filterIdx = p.indexOf("Filter")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(filterIdx >= 0 && aggIdx >= 0, p)
+    // Plans print top-down: the FINAL aggregate appears above the gate
+    // Filter, which must itself sit above (i.e. execute before) nothing
+    // but the scan — verify a Filter exists below the last HashAggregate.
+    assert(p.lastIndexOf("Filter") > p.indexOf("HashAggregate"), p)
+  }
+
+  test("q122 weighted sample prunes per-stratum top-k map-side (WindowGroupLimit)") {
+    val p = plan("q122_weighted_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q124 hard negatives broadcast probes and queries; no cartesian, no nested loop") {
+    val p = plan("q124_hard_negatives")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // Dup exclusion is a plain Filter on the scored candidates, pre-window.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
