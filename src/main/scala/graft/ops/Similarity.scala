@@ -636,7 +636,110 @@ object Similarity {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** Hybrid retrieval — lexical BM25 + dense cosine, fused by Reciprocal
+    * Rank Fusion (Cormack et al., SIGIR'09): the two-tower serving shape
+    * every modern retrieval stack runs. Each ranker contributes
+    * round(1e6 / (60 + rank)) micro-units for documents in its top-`pool`
+    * list (0 outside it); candidates are the union of the two lists; the
+    * fused top-`k` is ranked on the exact integer sum. doc_id and vec_id
+    * are 1:1 in the fixtures (FIXTURES.md), standing in for a corpus with
+    * both a text and an embedding column.
+    *
+    * Scale: the lexical side is q117's shape (term filter cuts the token
+    * stream map-side, df/stats broadcast); the dense side is one
+    * broadcast query vector against a streaming corpus scan with
+    * TakeOrderedAndProject top-pool; fusion joins two pool-sized lists —
+    * driver-free, shuffle cost independent of corpus size. RRF needs no
+    * score calibration across rankers (rank-only), which is exactly why
+    * it's the robust default at 100 TB where BM25 mass and cosine scales
+    * drift per shard.
+    */
+  def hybridRetrieval(docs: DataFrame, emb: DataFrame,
+                      qterms: Seq[String], queryVec: Long = 0L,
+                      pool: Int = 20, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = TextAnalysis.bm25Scores(docs, qterms)
+      .filter(col("doc_id") =!= queryVec)
+      .orderBy(col("sfx").desc, col("doc_id").asc).limit(pool)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("sfx").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val dense = e.filter(col("vec_id") =!= queryVec).as("n")
+      .crossJoin(broadcast(e.filter(col("vec_id") === queryVec)
+        .select(col("emb").as("q_emb"))))
+      .select(col("n.vec_id").as("doc_id"),
+        expr("graft_dot(emb, q_emb)").as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id").asc).limit(pool)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cosine").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("dense_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("CAST(ROUND(1000000.0 / (60 + lex_rank)) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(ROUND(1000000.0 / (60 + dense_rank)) AS BIGINT)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_micro").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rrf_micro"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .orderBy(col("rank"))
+  }
+
+  def q125HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    hybridRetrieval(t(s, dir, "documents"), t(s, dir, "embeddings"),
+      Seq("spark", "merge", "window"))
+  }
+
+  /** Both ranker replicas verbatim (q117's BM25 CTEs; q55's exact dot),
+    * same integer RRF arithmetic.
+    */
+  val q125Sql: String =
+    """WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+       stats AS (SELECT COUNT(*) AS n, SUM(dl) AS tot FROM dl),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+              WHERE term IN ('spark', 'merge', 'window') GROUP BY 1, 2),
+       df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       c AS (SELECT doc_id,
+                    CAST(ROUND(LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                               * (tf * 2.2)
+                               / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
+                               * 1000000) AS BIGINT) AS fx
+             FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+       sc AS (SELECT doc_id, SUM(fx) AS sfx FROM c WHERE doc_id <> 0 GROUP BY 1),
+       lex AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sfx DESC, doc_id) AS BIGINT)
+                       AS lex_rank
+               FROM sc ORDER BY sfx DESC, doc_id LIMIT 20),
+       dq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       dense0 AS (SELECT vec_id AS doc_id,
+                         list_reduce([CAST(n.embedding[i] AS DOUBLE) * CAST(dq.q_emb[i] AS DOUBLE)
+                                      FOR i IN generate_series(1, len(n.embedding))],
+                                     (acc, v) -> acc + v) AS cosine
+                  FROM embeddings n, dq WHERE n.vec_id <> 0),
+       dense AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                        AS dense_rank
+                 FROM dense0 ORDER BY cosine DESC, doc_id LIMIT 20),
+       fused AS (
+         SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                COALESCE(CAST(ROUND(1000000.0 / (60 + l.lex_rank)) AS BIGINT), 0)
+                  + COALESCE(CAST(ROUND(1000000.0 / (60 + d.dense_rank)) AS BIGINT), 0)
+                  AS rrf_micro,
+                COALESCE(l.lex_rank, 0) AS lex_rank,
+                COALESCE(d.dense_rank, 0) AS dense_rank
+         FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+       ranked AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+                         AS rank, doc_id, rrf_micro, lex_rank, dense_rank
+                  FROM fused)
+       SELECT rank, doc_id, rrf_micro, lex_rank, dense_rank
+       FROM ranked WHERE rank <= 10 ORDER BY rank"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_hybrid_retrieval" -> (q125HybridRetrieval _),
     "q124_hard_negatives" -> (q124HardNegatives _),
     "q55_ann_bruteforce" -> (q55AnnBruteforce _),
     "q56_ann_lsh" -> (q56AnnLsh _),
@@ -647,6 +750,7 @@ object Similarity {
     "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _))
 
   val oracle: Map[String, String] = Map(
+    "q125_hybrid_retrieval" -> q125Sql,
     "q124_hard_negatives" -> q124Sql,
     "q55_ann_bruteforce" -> q55Sql,
     "q56_ann_lsh" -> q56Sql,

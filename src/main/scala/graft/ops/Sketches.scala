@@ -57,14 +57,23 @@ object Sketches {
     * mass threshold — the gate is what makes the report a light query
     * instead of a vocabulary materialization.
     */
-  def heavyHitters(docs: DataFrame, ratio: Int = 30): DataFrame = {
-    val toks = tokenStream(docs)
-    val bucketed = toks.select(posexplode(
+  /** The d x w sketch cells for a token stream: (row, bucket, cnt).
+    * Also the STREAMING dual — this exact aggregation runs unchanged on a
+    * `readStream` token frame (state is bounded by d*w cells no matter
+    * how much stream passes through), which is how a production pipeline
+    * keeps a live frequent-terms monitor; SketchSpec proves the streaming
+    * cells converge to the batch cells on the same data.
+    */
+  def cmCells(toks: DataFrame): DataFrame =
+    toks.select(posexplode(
       array((0 until cmDepth).map(i => bucketCol(col("tok"), i)): _*))
       .as(Seq("row", "bucket")))
-    val cells = bucketed.groupBy(col("row"), col("bucket"))
+      .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-      .collect()
+
+  def heavyHitters(docs: DataFrame, ratio: Int = 30): DataFrame = {
+    val toks = tokenStream(docs)
+    val cells = cmCells(toks).collect()
     val total = cells.iterator.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
     val maps: Seq[Map[Int, Long]] = (0 until cmDepth).map { i =>
       cells.iterator.filter(_.getInt(0) == i)

@@ -553,9 +553,12 @@ object TextAnalysis {
     * TakeOrderedAndProject (limit BEFORE the rank window, which then
     * runs over 10 rows), never a corpus-sized single-partition sort.
     */
-  def q117Bm25(s: SparkSession, dir: String): DataFrame = {
-    val qterms = Seq("spark", "merge", "window")
-    val docs = t(s, dir, "documents")
+  /** BM25 micro-unit scores (doc_id, sfx) for `qterms` — the scoring core
+    * of q117, exposed for composition (q125's hybrid fusion). The term
+    * filter cuts the token stream map-side; df/stats broadcast; only docs
+    * containing a query term survive.
+    */
+  def bm25Scores(docs: DataFrame, qterms: Seq[String]): DataFrame = {
     val dl = docs.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
@@ -572,6 +575,10 @@ object TextAnalysis {
                       / (tf + 1.2 * (0.25 + 0.75 * dl / (CAST(tot AS DOUBLE) / n)))
                       * 1000000) AS BIGINT)"""))
       .groupBy(col("doc_id")).agg(sum(col("fx")).as("sfx"))
+  }
+
+  def q117Bm25(s: SparkSession, dir: String): DataFrame = {
+    bm25Scores(t(s, dir, "documents"), Seq("spark", "merge", "window"))
       .orderBy(col("sfx").desc, col("doc_id").asc).limit(10)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window

@@ -325,6 +325,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q125 hybrid retrieval: dense side is broadcast + TakeOrderedAndProject, no corpus-sized sort") {
+    val p = plan("q125_hybrid_retrieval")
+    // The query vector meets the corpus as a broadcast; both pool cuts are
+    // per-partition top-k heaps, not total sorts of scored corpora.
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q124 hard negatives broadcast probes and queries; no cartesian, no nested loop") {
     val p = plan("q124_hard_negatives")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)

@@ -64,6 +64,31 @@ class SketchSpec extends SparkSpec {
     assert(under.isEmpty, s"CM underestimated ${under.length} tokens, e.g. ${under.take(3).mkString(",")}")
   }
 
+  test("q121 streaming dual: CM cells aggregate live with bounded state and converge to the batch sketch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val toks = mem.toDF().select(explode(split(col("value"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val q = Sketches.cmCells(toks).writeStream
+      .format("memory").queryName("cm_cells").outputMode("complete").start()
+    try {
+      mem.addData("hot hot hot tail1", "hot tail2 tail2")
+      q.processAllAvailable()
+      mem.addData("hot warm warm tail3")
+      q.processAllAvailable()
+      val streamed = spark.table("cm_cells").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val batch = Sketches.cmCells(
+        Seq("hot hot hot tail1", "hot tail2 tail2", "hot warm warm tail3")
+          .toDF("value").select(explode(split(col("value"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0)).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamed == batch) // incremental state == one-shot batch
+      assert(streamed.size <= Sketches.cmDepth * Sketches.cmWidth) // bounded
+    } finally q.stop()
+  }
+
   test("q122 weighted sample is partitioning-invariant and weight-monotone") {
     val docs = docsOf((1 to 400).map(i =>
       (i.toLong, if (i % 2 == 0) "x" * 400 else "x" * 50)): _*)
@@ -112,5 +137,20 @@ class SketchSpec extends SparkSpec {
     }
     val hnPairs = hn.map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(!hnPairs.contains((5L, 99999L)), "planted duplicate surfaced as a hard negative")
+  }
+
+  test("q125 RRF fusion: scores recompute from the rank columns, both rankers contribute, query excluded") {
+    graft.functions.VectorExpressions.register(spark)
+    val out = Similarity.q125HybridRetrieval(spark, sfDir).collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      val (lex, dense, rrf) = (r.getLong(3), r.getLong(4), r.getLong(2))
+      def part(rk: Long) = if (rk == 0) 0L else math.round(1000000.0 / (60 + rk))
+      assert(rrf == part(lex) + part(dense), s"rrf $rrf != ${part(lex)} + ${part(dense)}")
+      assert(lex > 0 || dense > 0, "fused doc came from neither ranker")
+      assert(r.getLong(1) != 0L, "the dense query doc leaked into the fused list")
+    }
+    // Non-vacuous fusion: each ranker places at least one doc.
+    assert(out.exists(_.getLong(3) > 0) && out.exists(_.getLong(4) > 0))
   }
 }

@@ -50,7 +50,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q111_semantic_dedup_scaled", "q113_retention_cohorts",
     "q114_media_phash_dedup", "q115_repeated_spans", "q116_temperature_mix",
     "q117_bm25_topk", "q118_quality_classifier", "q119_sequence_pack",
-    "q120_dup_graph_rank")
+    "q120_dup_graph_rank", "q121_heavy_hitters", "q122_weighted_sample",
+    "q123_char_entropy", "q124_hard_negatives", "q125_hybrid_retrieval")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
