@@ -325,7 +325,85 @@ object EventOps {
             JOIN sizes s ON f.cohort_week = s.cohort_week
        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
 
+  /** Time-series subsequence pattern scan — distributed profile-style
+    * matching (the streaming-similarity-search family, e.g. Time Series
+    * Similarity Search for Streaming Data in Distributed Systems,
+    * EDBT'19): find the k windows of the per-user `value` series closest
+    * to a fixed query pattern of length m, under mean-centered Euclidean
+    * distance computed in EXACT integer arithmetic so both engines rank
+    * identically:
+    *
+    *   dist = Σ_i ((m·x_i − Sx) − (m·q_i − Sq))²   over cents (value·100),
+    *
+    * which is m² times the distance between the mean-centered series —
+    * rank-equivalent to mean-centered Euclidean with no division and no
+    * sqrt (the two float ops whose libm rounding could diverge; full
+    * z-normalization would need a sqrt of the window variance, so the
+    * amplitude-invariant variant is deliberately out of the oracle-exact
+    * surface).
+    *
+    * Scale: one shuffle partitions by user_id; the sliding window carries
+    * an m-bounded frame (collect_list over ROWS BETWEEN CURRENT AND m-1
+    * FOLLOWING — never a series-sized array); the distance is per-row
+    * arithmetic on the m-array; the global top-k is
+    * TakeOrderedAndProject. Overflow headroom: |m·x| ≤ 8·~50k cents ≈
+    * 4e5, squared 1.6e11, times m = 1.3e12 — far inside BIGINT.
+    */
+  def patternScan(events: DataFrame, pattern: Seq[Long], k: Int = 10): DataFrame = {
+    val m = pattern.length
+    val sq = pattern.sum
+    val qlit = pattern.mkString("array(", "L, ", "L)")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, m - 1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("arr", collect_list(col("cents")).over(w))
+      .filter(size(col("arr")) === m)
+      .withColumn("sx", expr("aggregate(arr, 0L, (a, v) -> a + v)"))
+      .withColumn("dist", expr(
+        s"""aggregate(zip_with(arr, $qlit,
+                               (x, q) -> ($m * x - sx - ($m * q - ${sq}L))
+                                         * ($m * x - sx - ($m * q - ${sq}L))),
+                      0L, (a, v) -> a + v)"""))
+      .orderBy(col("dist"), col("user_id"), col("event_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dist"), col("user_id"), col("event_id"))).cast("long"))
+      .select(col("rank"), col("user_id"), col("event_id").as("start_id"), col("dist"))
+      .orderBy(col("rank"))
+  }
+
+  /** A spike-shaped demo pattern in cents (rise to 200, fall back). */
+  private val spikePattern: Seq[Long] =
+    Seq(10000L, 12000L, 15000L, 20000L, 15000L, 12000L, 10000L, 9000L)
+
+  def q126PatternScan(s: SparkSession, dir: String): DataFrame =
+    patternScan(t(s, dir, "events"), spikePattern)
+
+  val q126Sql: String =
+    """WITH e AS (SELECT user_id, event_id, ts,
+                         CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events),
+       w AS (SELECT user_id, event_id,
+                    list(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS arr
+             FROM e),
+       f AS (SELECT user_id, event_id, arr,
+                    list_reduce(arr, (a, v) -> a + v) AS sx
+             FROM w WHERE len(arr) = 8),
+       q AS (SELECT [10000, 12000, 15000, 20000, 15000, 12000, 10000, 9000]::BIGINT[] AS ql,
+                    103000::BIGINT AS sq),
+       d AS (SELECT user_id, event_id AS start_id,
+                    list_reduce([(8 * arr[i] - sx - (8 * ql[i] - sq))
+                                 * (8 * arr[i] - sx - (8 * ql[i] - sq))
+                                 FOR i IN generate_series(1, 8)],
+                                (a, v) -> a + v) AS dist
+             FROM f, q)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist, user_id, start_id) AS BIGINT) AS rank,
+              user_id, start_id, dist
+       FROM d ORDER BY dist, user_id, start_id LIMIT 10"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_pattern_scan" -> (q126PatternScan _),
     "q112_event_funnel" -> (q112EventFunnel _),
     "q113_retention_cohorts" -> (q113RetentionCohorts _),
     "q38_session_window" -> (q38SessionWindow _),
@@ -336,6 +414,7 @@ object EventOps {
     "q97_snapshot_diff" -> (q97SnapshotDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q126_pattern_scan" -> q126Sql,
     "q112_event_funnel" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,
     "q38_session_window" -> q38Sql,

@@ -325,6 +325,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("q126 pattern scan: m-bounded sliding frame, global top-k is TakeOrderedAndProject") {
+    val p = plan("q126_pattern_scan")
+    // The collect_list window must carry the ROWS frame (bounded m-array
+    // state per row), and the final k must be a per-partition heap, not a
+    // total sort of all windows.
+    assert(p.contains("specifiedwindowframe(RowFrame, currentrow$(), 7)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q125 hybrid retrieval: dense side is broadcast + TakeOrderedAndProject, no corpus-sized sort") {
     val p = plan("q125_hybrid_retrieval")
     // The query vector meets the corpus as a broadcast; both pool cuts are

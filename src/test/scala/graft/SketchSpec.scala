@@ -153,4 +153,24 @@ class SketchSpec extends SparkSpec {
     // Non-vacuous fusion: each ranker places at least one doc.
     assert(out.exists(_.getLong(3) > 0) && out.exists(_.getLong(4) > 0))
   }
+
+  test("q126 pattern scan: translation-invariant (mean-centering), planted exact shape scores 0 at rank 1") {
+    import java.sql.Timestamp
+    val pat = Seq(100L, 120L, 150L, 200L, 150L, 120L, 100L, 90L)
+    def ev(user: Long, base: Double) = (0 until 8).map { i =>
+      (user * 100 + i, Timestamp.valueOf(s"2024-01-01 00:0$i:00"), user,
+        base + pat(i) / 100.0)
+    }
+    // user 1 carries the exact pattern shifted by a constant (+5.00) —
+    // mean-centering must score it 0; user 2 is flat (worst match).
+    val rows = ev(1L, 5.0) ++ ev(2L, 0.0).map { case (id, ts, u, _) => (id, ts, u, 1.23) }
+    val events = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = graft.ops.EventOps.patternScan(events, pat, k = 3).collect()
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 1L
+      && out.head.getLong(3) == 0L, out.mkString(";"))
+    // Shifting EVERY value by another constant changes nothing.
+    val shifted = events.withColumn("value", col("value") + 7.0)
+    val out2 = graft.ops.EventOps.patternScan(shifted, pat, k = 3).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+  }
 }
