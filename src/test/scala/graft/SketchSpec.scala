@@ -154,6 +154,20 @@ class SketchSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) > 0) && out.exists(_.getLong(4) > 0))
   }
 
+  test("degenerate inputs: uniform corpus yields no heavy hitters; short series yield no pattern windows") {
+    // q121 on a perfectly uniform corpus with ratio tighter than 1/vocab:
+    // nothing clears total/ratio — the gate and the exact filter must both
+    // agree on empty, not throw.
+    val uniform = docsOf((1 to 50).map(i => (i.toLong, s"u$i v$i w$i")): _*)
+    assert(graft.ops.Sketches.heavyHitters(uniform, ratio = 100).count() == 0)
+    // q126 with every user's series shorter than m: no full window exists.
+    import java.sql.Timestamp
+    val short = (1 to 5).map(i =>
+      (i.toLong, Timestamp.valueOf(s"2024-01-01 00:0$i:00"), 1L, 1.0 * i))
+      .toDF("event_id", "ts", "user_id", "value")
+    assert(graft.ops.EventOps.patternScan(short, Seq.fill(8)(100L)).count() == 0)
+  }
+
   test("q126 pattern scan: translation-invariant (mean-centering), planted exact shape scores 0 at rank 1") {
     import java.sql.Timestamp
     val pat = Seq(100L, 120L, 150L, 200L, 150L, 120L, 100L, 90L)
