@@ -592,7 +592,46 @@ object Pipeline {
                   JOIN documents d2 ON id2 = d2.doc_id
        GROUP BY 1, 2 ORDER BY source1, source2"""
 
+  /** k-anonymity suppression report over the quasi-identifier
+    * (lang, source) — the release-governance audit that pairs with q106's
+    * PII scrub: a document whose quasi-identifier combination matches
+    * fewer than k corpus rows is re-identifiable by join with an external
+    * table, so the group must be suppressed or generalized before
+    * release (Sweeney, IJUFKS 2002). Per group: size, the suppress
+    * verdict at k, and whether GENERALIZING the identifier (dropping
+    * `source`, keeping `lang`) rescues it — the generalize-then-recheck
+    * step a real release pipeline runs.
+    *
+    * Scale: two partial-aggregated groupBys (one per identifier grain)
+    * joined on the coarse key — group-count-sized frames only, the corpus
+    * streams through once.
+    */
+  def q129KAnonymity(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fine = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val coarse = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    fine.join(coarse, "lang")
+      .withColumn("suppress", col("n_docs") < k)
+      .withColumn("suppressed_after_generalize",
+        col("n_docs") < k && col("n_lang") < k)
+      .select(col("lang"), col("source"), col("n_docs"), col("suppress"),
+        col("n_lang"), col("suppressed_after_generalize"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val q129Sql: String =
+    """WITH fine AS (SELECT lang, source, COUNT(*) AS n_docs
+                     FROM documents GROUP BY 1, 2),
+       coarse AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
+       SELECT f.lang, f.source, f.n_docs, f.n_docs < 5 AS suppress,
+              c.n_lang, f.n_docs < 5 AND c.n_lang < 5 AS suppressed_after_generalize
+       FROM fine f JOIN coarse c USING (lang)
+       ORDER BY lang, source"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_k_anonymity" -> ((s, d) => q129KAnonymity(s, d)),
     "q103_source_dup_stats" -> (q103SourceDupStats _),
     "q104_cross_source_dups" -> (q104CrossSourceDups _),
     "q90_containment_dedup" -> (q90ContainmentDedup _),
@@ -604,6 +643,7 @@ object Pipeline {
     "q96_pair_features" -> ((s, d) => q96PairFeatures(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q129_k_anonymity" -> q129Sql,
     "q103_source_dup_stats" -> q103Sql,
     "q104_cross_source_dups" -> q104Sql,
     "q90_containment_dedup" -> q90Sql,

@@ -151,11 +151,89 @@ object Sketches {
        SELECT source, rk, doc_id, n_chars, priority
        FROM ranked WHERE rk <= 20 ORDER BY source, rk"""
 
+  /** KMV (k-minimum-values) distinct-count sketch, per source, over the
+    * word-3-gram shingle universe — the mergeable cardinality sketch
+    * family (Bar-Yossef et al., RANDOM'02; the Theta-sketch ancestor),
+    * made BIT-EXACT verifiable: because the hash is a shared md5-derived
+    * 32-bit uniform and the estimator is pure integer arithmetic
+    * ((k−1)·2³² div h_k, exact small-set branch below k), both engines
+    * compute the identical estimate — an approximate operator with a
+    * hash-matching oracle, the q54/q101 trick applied to cardinality.
+    *
+    * The report carries the exact distinct count and the error in ppm as
+    * a self-audit; a production pipeline keeps ONLY the sketch side —
+    * per-source state is k hashes (mergeable: union = k smallest of the
+    * union), while the exact branch is the vocabulary-sized aggregation
+    * the sketch exists to avoid. Scale: the per-source k-smallest ranking
+    * is WindowGroupLimit-pruned to k rows per partition per source before
+    * the shuffle.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64,
+                  handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    // Pinned: both the exact-count branch and the sketch ranking consume
+    // the distinct shingle frame — without the pin the explode+distinct
+    // runs twice (measured 2.7 -> 1.6 s at sf0.1).
+    val sh = handle.pin(docs.select(col("source"), explode(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
+      .as("shingle")).distinct())
+    val exact = sh.groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    val ranked = sh
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("u"), col("shingle"))))
+      .filter(col("rk") <= k)
+    val kth = ranked.groupBy(col("source"))
+      .agg(max(col("u")).as("hk"), count(lit(1)).as("kk"))
+    exact.join(kth, "source")
+      .withColumn("kmv_est",
+        when(col("kk") < k, col("exact_distinct"))
+          .otherwise(expr("(kk - 1) * 4294967296 DIV hk")))
+      .withColumn("err_ppm",
+        expr("abs(kmv_est - exact_distinct) * 1000000 DIV exact_distinct"))
+      .select(col("source"), col("exact_distinct"), col("kmv_est"), col("err_ppm"))
+      .orderBy(col("source"))
+  }
+
+  def q128KmvDistinct(s: SparkSession, dir: String): DataFrame =
+    kmvDistinct(t(s, dir, "documents"))
+
+  val q128Sql: String =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+       sh AS (
+         SELECT DISTINCT source,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+         FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)),
+       h AS (SELECT source, shingle,
+                    list_reduce([strpos('0123456789abcdef',
+                                  substring(md5('kmv:' || shingle), i, 1)) - 1
+                                 FOR i IN generate_series(1, 8)]::BIGINT[],
+                                (a, v) -> a * 16 + v) AS u
+             FROM sh),
+       r AS (SELECT source, u,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, shingle) AS rk
+             FROM h),
+       kth AS (SELECT source, MAX(u) AS hk, COUNT(*) AS kk FROM r WHERE rk <= 64
+               GROUP BY source),
+       ex AS (SELECT source, COUNT(*) AS exact_distinct FROM sh GROUP BY source),
+       est AS (
+         SELECT e.source, e.exact_distinct,
+                CASE WHEN k.kk < 64 THEN e.exact_distinct
+                     ELSE (k.kk - 1) * 4294967296 // k.hk END AS kmv_est
+         FROM ex e JOIN kth k USING (source))
+       SELECT source, exact_distinct, kmv_est,
+              abs(kmv_est - exact_distinct) * 1000000 // exact_distinct AS err_ppm
+       FROM est ORDER BY source"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_heavy_hitters" -> q121HeavyHitters,
-    "q122_weighted_sample" -> q122WeightedSample)
+    "q122_weighted_sample" -> q122WeightedSample,
+    "q128_kmv_distinct" -> q128KmvDistinct)
 
   def oracle: Map[String, String] = Map(
     "q121_heavy_hitters" -> q121Sql,
-    "q122_weighted_sample" -> q122Sql)
+    "q122_weighted_sample" -> q122Sql,
+    "q128_kmv_distinct" -> q128Sql)
 }

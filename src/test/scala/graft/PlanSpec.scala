@@ -334,6 +334,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q128 KMV: the per-source k-smallest ranking is WindowGroupLimit-pruned") {
+    val p = plan("q128_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q125 hybrid retrieval: dense side is broadcast + TakeOrderedAndProject, no corpus-sized sort") {
     val p = plan("q125_hybrid_retrieval")
     // The query vector meets the corpus as a broadcast; both pool cuts are

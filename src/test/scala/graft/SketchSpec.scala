@@ -168,6 +168,49 @@ class SketchSpec extends SparkSpec {
     assert(graft.ops.EventOps.patternScan(short, Seq.fill(8)(100L)).count() == 0)
   }
 
+  test("q128 KMV: mergeable (union sketch == k-smallest of per-half sketches) and error-bounded") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val uExpr = "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)"
+    def hashes(d: org.apache.spark.sql.DataFrame) = d.select(col("source"), explode(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("shingle"))
+      .distinct().withColumn("u", expr(uExpr))
+    def sketch(d: org.apache.spark.sql.DataFrame) = d
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("u"), col("shingle"))))
+      .filter(col("rk") <= 64).drop("rk")
+    val full = sketch(hashes(docs))
+    // Shard the corpus, sketch each shard, merge (union + re-take k): the
+    // merged sketch must equal the full-corpus sketch exactly — the
+    // property that makes KMV a distributed-aggregation-safe state.
+    val merged = sketch(
+      sketch(hashes(docs.filter(col("doc_id") % 2 === 0)))
+        .unionByName(sketch(hashes(docs.filter(col("doc_id") % 2 =!= 0))))
+        .dropDuplicates("source", "shingle"))
+    val a = full.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = merged.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b, s"merge broke the sketch: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+    // Estimator sanity: every per-source estimate within 50% of truth
+    // (k=64 gives ~12.5% standard error; 4 sigma is a safe pin).
+    val rep = graft.ops.Sketches.kmvDistinct(docs).collect()
+    rep.foreach { r =>
+      assert(r.getLong(3) <= 500000L,
+        s"${r.getString(0)}: est ${r.getLong(2)} vs exact ${r.getLong(1)} (${r.getLong(3)} ppm)")
+    }
+  }
+
+  test("q129 k-anonymity: generalization only rescues, never newly suppresses") {
+    val rep = graft.ops.Pipeline.q129KAnonymity(spark, sfDir).collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      val (suppress, after) = (r.getBoolean(3), r.getBoolean(5))
+      assert(!after || suppress, "a group became suppressed only after generalizing")
+      assert(r.getLong(4) >= r.getLong(2), "generalized group smaller than its subgroup")
+    }
+    assert(rep.exists(_.getBoolean(3)), "fixture never exercises suppression")
+  }
+
   test("q126 pattern scan: translation-invariant (mean-centering), planted exact shape scores 0 at rank 1") {
     import java.sql.Timestamp
     val pat = Seq(100L, 120L, 150L, 200L, 150L, 120L, 100L, 90L)
