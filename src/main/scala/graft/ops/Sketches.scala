@@ -227,13 +227,120 @@ object Sketches {
               abs(kmv_est - exact_distinct) * 1000000 // exact_distinct AS err_ppm
        FROM est ORDER BY source"""
 
+  /** Sketch ALGEBRA — the reason KMV beats a plain distinct-count at
+    * 100 TB: the cross-source overlap matrix estimated from the per-source
+    * sketches ALONE. For each source pair, pool the two sketches, keep the
+    * k smallest pooled hashes (= the union's sketch, by mergeability),
+    * estimate |A∪B| as usual, and estimate Jaccard as the fraction of
+    * kept hashes present in BOTH sketches; |A∩B| ≈ J·|A∪B| in pure
+    * integer arithmetic. The exact intersection (q104's join shape) rides
+    * along as a self-audit — at scale you run ONLY the sketch half:
+    * 190 pairs × k hashes instead of a corpus-sized shingle self-join.
+    *
+    * k trades accuracy for state: the intersection estimate needs
+    * common ≈ J·k ≫ 1, so k=256 here (J ~ 2% on this corpus). All
+    * branches are integer-exact, so the estimates — noise and all —
+    * hash-match the oracle.
+    */
+  def kmvOverlap(docs: DataFrame, k: Int = 256,
+                 handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val sh = handle.pin(docs.select(col("source"), explode(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
+      .as("shingle")).distinct())
+    val sk = handle.pin(sh
+      .withColumn("u", expr(
+        "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("u"), col("shingle"))))
+      .filter(col("rk") <= k).select(col("source"), col("u")))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.as("a").join(srcs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("s1"), col("b.source").as("s2"))
+    val pooled = pairs.join(sk.withColumnRenamed("source", "s1"), "s1")
+      .select(col("s1"), col("s2"), col("u"))
+      .unionByName(pairs.join(sk.withColumnRenamed("source", "s2"), "s2")
+        .select(col("s1"), col("s2"), col("u")))
+      .groupBy(col("s1"), col("s2"), col("u"))
+      .agg(count(lit(1)).as("sides"))
+    val kept = pooled
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("s1"), col("s2")).orderBy(col("u"))))
+      .filter(col("rk") <= k)
+      .groupBy(col("s1"), col("s2"))
+      .agg(max(col("u")).as("hk"), count(lit(1)).as("kk"),
+        sum(when(col("sides") === 2, 1L).otherwise(0L)).as("common"))
+    val exact = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+      .select(col("x.source").as("s1"), col("y.source").as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("exact_inter"))
+    kept
+      .withColumn("est_union",
+        when(col("kk") < k, col("kk"))
+          .otherwise(expr("(kk - 1) * 4294967296 DIV hk")))
+      .withColumn("est_inter", expr("common * est_union DIV kk"))
+      .join(exact, Seq("s1", "s2"), "left_outer")
+      .select(col("s1").as("source1"), col("s2").as("source2"),
+        col("est_union"), col("est_inter"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  def q130KmvOverlap(s: SparkSession, dir: String): DataFrame =
+    kmvOverlap(t(s, dir, "documents"))
+
+  val q130Sql: String =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)),
+       h AS (SELECT source, shingle,
+                    list_reduce([strpos('0123456789abcdef',
+                                  substring(md5('kmv:' || shingle), i, 1)) - 1
+                                 FOR i IN generate_series(1, 8)]::BIGINT[],
+                                (a, v) -> a * 16 + v) AS u
+             FROM sh),
+       sk AS (SELECT source, u FROM (
+                SELECT source, u,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, shingle) AS rk
+                FROM h) WHERE rk <= 256),
+       pairs AS (SELECT DISTINCT a.source AS s1, b.source AS s2
+                 FROM sk a JOIN sk b ON a.source < b.source),
+       pooled AS (
+         SELECT p.s1, p.s2, s.u, COUNT(*) AS sides
+         FROM pairs p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+         GROUP BY 1, 2, 3),
+       ranked AS (SELECT s1, s2, u, sides,
+                         ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY u) AS rk
+                  FROM pooled),
+       kept AS (SELECT s1, s2, MAX(u) AS hk, COUNT(*) AS kk,
+                       SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS common
+                FROM ranked WHERE rk <= 256 GROUP BY 1, 2),
+       est AS (SELECT s1, s2,
+                      CASE WHEN kk < 256 THEN kk
+                           ELSE (kk - 1) * 4294967296 // hk END AS est_union,
+                      common, kk
+               FROM kept),
+       ex AS (SELECT a.source AS xs1, b.source AS xs2, COUNT(*) AS exact_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY 1, 2)
+       SELECT e.s1 AS source1, e.s2 AS source2, e.est_union,
+              CAST(e.common * e.est_union // e.kk AS BIGINT) AS est_inter,
+              COALESCE(x.exact_inter, 0) AS exact_inter
+       FROM est e LEFT JOIN ex x ON e.s1 = x.xs1 AND e.s2 = x.xs2
+       ORDER BY source1, source2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_heavy_hitters" -> q121HeavyHitters,
     "q122_weighted_sample" -> q122WeightedSample,
-    "q128_kmv_distinct" -> q128KmvDistinct)
+    "q128_kmv_distinct" -> q128KmvDistinct,
+    "q130_kmv_overlap" -> q130KmvOverlap)
 
   def oracle: Map[String, String] = Map(
     "q121_heavy_hitters" -> q121Sql,
     "q122_weighted_sample" -> q122Sql,
-    "q128_kmv_distinct" -> q128Sql)
+    "q128_kmv_distinct" -> q128Sql,
+    "q130_kmv_overlap" -> q130Sql)
 }

@@ -200,6 +200,29 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("q130 sketch algebra: complete sketches (distinct < k) make union/intersection estimates EXACT") {
+    // Two sources built from disjoint+shared word pools, each well under
+    // k=256 distinct shingles: the pooled pair sketch is then the complete
+    // union, and every estimate must collapse to the exact value.
+    def text(words: Seq[String]) = words.mkString(" ")
+    val shared = (1 to 30).map(i => s"sh$i")
+    val docs = Seq(
+      (1L, text((1 to 40).map(i => s"a$i") ++ shared), "srcA", 0L),
+      (2L, text((1 to 40).map(i => s"b$i") ++ shared), "srcB", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val out = Sketches.kmvOverlap(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (estU, estI, exactI) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(estI == exactI, s"complete-sketch intersection $estI != exact $exactI")
+    // Exact union = |A| + |B| - |A∩B|; per-source distinct shingle counts
+    // come from the same operator's q128 sibling on this fixture.
+    val perSrc = Sketches.kmvDistinct(docs).collect()
+      .map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(estU == perSrc("srcA") + perSrc("srcB") - exactI,
+      s"union $estU != ${perSrc("srcA")} + ${perSrc("srcB")} - $exactI")
+  }
+
   test("q129 k-anonymity: generalization only rescues, never newly suppresses") {
     val rep = graft.ops.Pipeline.q129KAnonymity(spark, sfDir).collect()
     assert(rep.nonEmpty)

@@ -52,7 +52,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q117_bm25_topk", "q118_quality_classifier", "q119_sequence_pack",
     "q120_dup_graph_rank", "q121_heavy_hitters", "q122_weighted_sample",
     "q123_char_entropy", "q124_hard_negatives", "q125_hybrid_retrieval",
-    "q126_pattern_scan", "q127_tag_cooccurrence", "q128_kmv_distinct")
+    "q126_pattern_scan", "q127_tag_cooccurrence", "q128_kmv_distinct",
+    "q130_kmv_overlap")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
