@@ -36,7 +36,9 @@ object SparkEntry {
       ops.Curation.queries ++
       ops.Pipeline.queries ++
       ops.Linkage.queries ++
-      ops.Sketches.queries
+      ops.Sketches.queries ++
+      ops.Graph.queries ++
+      ops.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -59,5 +61,7 @@ object SparkEntry {
       ops.Curation.oracle ++
       ops.Pipeline.oracle ++
       ops.Linkage.oracle ++
-      ops.Sketches.oracle
+      ops.Sketches.oracle ++
+      ops.Graph.oracle ++
+      ops.Stats.oracle
 }

@@ -317,7 +317,7 @@ object Dedup {
     * assembly, pigeonhole chunk join and exact hamming filter. Generated
     * per bit index so both engines aggregate the same way.
     */
-  val q53Sql: String = {
+  private[ops] val q53Pairs: String = {
     val bitSums = (0 until SimhashBits)
       .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN w ELSE -w END) AS s$i").mkString(", ")
     val sigBits = (0 until SimhashBits)
@@ -338,8 +338,15 @@ object Dedup {
                         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
                  FROM chunks x JOIN chunks y
                    ON x.c = y.c AND x.cval = y.cval AND x.doc_id < y.doc_id)
-       SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3 ORDER BY id1, id2"""
+       SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3"""
   }
+
+  /** q53's driver oracle: [[q53Pairs]] (the unordered hamming ≤ 3 set,
+    * reused as a derived table by the consensus ensemble oracle, q137)
+    * plus the deterministic presentation sort.
+    */
+  val q53Sql: String = q53Pairs + "\n       ORDER BY id1, id2"
+
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.45) — the semantic-dedup
     * primitive, production (LSH-bucketed) form. Candidates are pairs

@@ -402,7 +402,95 @@ object EventOps {
               user_id, start_id, dist
        FROM d ORDER BY dist, user_id, start_id LIMIT 10"""
 
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the behavioral fingerprint product analytics derives next to funnels
+    * ([[q112EventFunnel]]): for each (from, to) event-type pair, the
+    * transition count and its probability among all transitions leaving
+    * `from`.
+    *
+    * Scale shape: ONE shuffle partitions events by user_id for the lead()
+    * pass; the per-pair aggregation is partial-aggregated on a key space
+    * of |types|² (25 here) — the row-share window at the end runs on that
+    * tiny aggregated frame, never on raw events. The probability divides
+    * once and rounds once.
+    */
+  def q132TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = t(s, dir, "events")
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p_r", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q132Sql: String =
+    """WITH seq AS (SELECT event_type AS from_type,
+                         LEAD(event_type) OVER (PARTITION BY user_id
+                                                ORDER BY ts ASC, event_id ASC) AS to_type
+                  FROM events),
+       c AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+             WHERE to_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+              ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6) AS p_r
+       FROM c ORDER BY from_type, to_type"""
+
+  /** Slowly-changing-dimension (type 2) history build from the raw event
+    * log — the CDC operator that turns an append-only stream into a
+    * versioned dimension: collapse each user's consecutive runs of equal
+    * state (event_type here), emit one row per run with
+    * [valid_from, valid_to) validity, a per-user version number, and an
+    * is_current flag on the open row. The dual of [[q48LatestPerKey]]
+    * (which keeps ONLY the current row).
+    *
+    * Scale shape: everything runs on ONE user_id partitioning — the lag
+    * (change detection), the lead (interval close), and the row_number
+    * (versioning) reuse the same exchange+sort, and Spark plans exactly
+    * one shuffle. No self-join against the history table, which is the
+    * naive SCD2 build that re-reads the dimension per batch.
+    */
+  def q133Scd2History(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val byUserChanges = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from").asc, col("event_id").asc)
+    t(s, dir, "events")
+      .withColumn("prev_state", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("event_id"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byUserChanges))
+      .withColumn("version", row_number().over(byUserChanges).cast("long"))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q133Sql: String =
+    """WITH flagged AS (
+         SELECT user_id, event_id, ts, event_type,
+                LAG(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS prev_state
+         FROM events),
+       runs AS (SELECT user_id, event_type AS state, ts AS valid_from, event_id
+                FROM flagged
+                WHERE prev_state IS NULL OR prev_state <> event_type)
+       SELECT user_id,
+              CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+              state, valid_from,
+              LEAD(valid_from) OVER w AS valid_to,
+              LEAD(valid_from) OVER w IS NULL AS is_current
+       FROM runs
+       WINDOW w AS (PARTITION BY user_id ORDER BY valid_from ASC, event_id ASC)
+       ORDER BY user_id, version"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_transition_matrix" -> (q132TransitionMatrix _),
+    "q133_scd2_history" -> (q133Scd2History _),
     "q126_pattern_scan" -> (q126PatternScan _),
     "q112_event_funnel" -> (q112EventFunnel _),
     "q113_retention_cohorts" -> (q113RetentionCohorts _),
@@ -414,6 +502,8 @@ object EventOps {
     "q97_snapshot_diff" -> (q97SnapshotDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q132_transition_matrix" -> q132Sql,
+    "q133_scd2_history" -> q133Sql,
     "q126_pattern_scan" -> q126Sql,
     "q112_event_funnel" -> q112Sql,
     "q113_retention_cohorts" -> q113Sql,

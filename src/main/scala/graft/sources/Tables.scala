@@ -20,17 +20,29 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a long via the
-    * legacy flag and rebuild a microsecond TimestampType column (integer
-    * nanos→micros division — exact, no FP). Downstream operators see a
-    * normal timestamp; the scan still prunes/pushes on other columns.
+  /** `events.ts` arrives in whatever timestamp encoding the data
+    * generator's arrow version emitted — TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader only reads via the nanosAsLong legacy flag, as a
+    * long), TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ),
+    * or plain TIMESTAMP. Normalize all three to a microsecond
+    * TimestampType column so downstream operators see one type; the
+    * session timezone is UTC everywhere (SparkEntry builders + specs), so
+    * the NTZ→LTZ cast is a wall-clock identity, and the nanos→micros
+    * division is exact integer arithmetic. The scan still prunes/pushes
+    * on other columns.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other")
+    }
   }
 
   /** Register every table as a temp view (idempotent) so SQL-front-end

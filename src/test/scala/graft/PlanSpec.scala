@@ -12,11 +12,34 @@ class PlanSpec extends SparkSpec {
     * choices only settle once AQE finalizes). `toString` truncates long
     * scan metadata, so scan-level checks use the formatted explain.
     */
+  /** Final AQE plan only, with two kinds of non-executed subtree removed
+    * by tree indentation:
+    *   - every "== Initial Plan ==" section (top level AND the ones nested
+    *     inside cached relations) — pre-AQE candidates, never executed;
+    *   - each InMemoryRelation's printed child (the cache-BUILD plan,
+    *     which repeats per reference and re-prints its FileScan even
+    *     though the executed plan reads the cache).
+    * Splitting on the first "== Initial Plan ==" occurrence — the old
+    * formulation — silently truncated every branch printed after the
+    * first cached frame, so absence/count assertions only saw a prefix.
+    */
   private def plan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.collect()
-    // Final AQE plan only (toString appends the pre-AQE Initial Plan too).
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    var skip = -1
+    df.queryExecution.executedPlan.toString.split("\n").filter { ln =>
+      val ind = ln.indexWhere(c => c != ' ' && c != ':' && c != '|') match {
+        case -1 => Int.MaxValue
+        case i => i
+      }
+      if (skip >= 0 && ind > skip) false
+      else {
+        skip = -1
+        if (ln.contains("== Initial Plan ==")) { skip = ind; false }
+        else if (ln.contains("InMemoryRelation")) { skip = ind; true }
+        else true
+      }
+    }.mkString("\n")
   }
 
   private def formattedPlan(name: String): String = {

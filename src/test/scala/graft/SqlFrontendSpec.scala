@@ -53,7 +53,7 @@ class SqlFrontendSpec extends SparkSpec {
     "q120_dup_graph_rank", "q121_heavy_hitters", "q122_weighted_sample",
     "q123_char_entropy", "q124_hard_negatives", "q125_hybrid_retrieval",
     "q126_pattern_scan", "q127_tag_cooccurrence", "q128_kmv_distinct",
-    "q130_kmv_overlap")
+    "q130_kmv_overlap", "q131_triangles", "q135_hist_quantiles")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-5 statistics/graph/event operators that the
+  * hash-matching oracle can't express: algebraic invariants (row-normalized
+  * probabilities, interval contiguity, triangle identities) on adversarial
+  * in-memory fixtures.
+  */
+class StatsGraphSpec extends SparkSpec {
+
+  test("q131 triangle counts satisfy the handshake identity on a known graph") {
+    // Build a corpus-free check directly on the operator's graph math by
+    // running the full operator on fixture documents: a planted 3-clique
+    // of identical docs closes exactly one triangle, each member counting
+    // it once; a 2-chain (a~b~c without a~c) closes none.
+    import spark.implicits._
+    val clique = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // Chain geometry in exact shingle arithmetic: base has 30 distinct
+    // words (28 trigram shingles); each tail adds 10 more (+10 shingles).
+    // J(4,5) = 28/38 ≈ 0.74 ≥ 0.6 (edge), J(4,6) = 28/48 ≈ 0.58 < 0.6
+    // (no closing edge), so 4~5~6 is an open chain.
+    val base = (1 to 30).map(i => f"b$i%02d").mkString(" ")
+    val tailC = (1 to 10).map(i => f"c$i%02d").mkString(" ")
+    val tailD = (1 to 10).map(i => f"d$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, clique), (2L, clique), (3L, clique),
+      (4L, s"$base $tailC"),
+      (5L, base),
+      (6L, s"$base $tailD")
+    ).toDF("doc_id", "text")
+    val handle = new ops.StorageHandle
+    val out = ops.Graph.triangleCounts(docs, handle).collect()
+    handle.release()
+    val byId = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId.get(1L).contains(1L) && byId.get(2L).contains(1L) && byId.get(3L).contains(1L),
+      s"3-clique members must each close exactly 1 triangle: ${byId.mkString(",")}")
+    assert(!byId.contains(4L) && !byId.contains(6L),
+      s"open chain must close no triangle: ${byId.mkString(",")}")
+  }
+
+  test("q132 transition probabilities row-normalize to 1 per from-state") {
+    val rows = ops.EventOps.q132TransitionMatrix(spark, sfDir)
+      .groupBy(col("from_type")).agg(sum(col("p_r")).as("s"))
+      .collect()
+    rows.foreach { r =>
+      // Each p_r rounds once to 6 dp; the row sum can be off by at most
+      // 0.5e-6 per cell (5 cells).
+      assert(math.abs(r.getDouble(1) - 1.0) < 3e-6, s"row ${r.getString(0)} sums to ${r.getDouble(1)}")
+    }
+  }
+
+  test("q133 SCD2 intervals are contiguous per user and exactly one row is current") {
+    val hist = ops.EventOps.q133Scd2History(spark, sfDir).collect()
+    hist.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val sorted = rows.sortBy(_.getLong(1)) // by version
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(4) == b.getTimestamp(3),
+            s"user $user: version ${a.getLong(1)} valid_to != next valid_from")
+        case _ =>
+      }
+      assert(sorted.count(_.getBoolean(5)) == 1, s"user $user: exactly one current row")
+      assert(sorted.last.getBoolean(5), s"user $user: last version must be current")
+      // Consecutive versions must actually change state (runs collapsed).
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2),
+            s"user $user: consecutive versions share state ${a.getString(2)}")
+        case _ =>
+      }
+    }
+  }
+
+  test("q134 MAD fence is robust where a mean/stddev fence is not") {
+    import spark.implicits._
+    // 20 docs at length 100, one at 1e6: the outlier drags a 3-sigma mean
+    // fence so far that it catches nothing else, but it cannot move the
+    // median fence. MAD flags exactly the planted point.
+    val docs = ((1 to 20).map(i => (i.toLong, "src", 100L + (i % 3))) :+ (99L, "src", 1000000L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = ops.Stats.madOutliers(docs).select("doc_id").as[Long].collect()
+    assert(out.toSet == Set(99L), s"expected exactly the planted outlier, got ${out.mkString(",")}")
+  }
+
+  test("q135 histogram quantiles are monotone and bracket the exact quantile from above") {
+    val rows = ops.Stats.q135HistQuantiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(p50 <= p90 && p90 <= p99, s"quantile read-off must be monotone: $r")
+    }
+    // Upper-edge report: at least half the group sits at or under p50_ub.
+    val docs = graft.sources.Tables.t(spark, sfDir, "documents")
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val under = docs.filter(col("source") === src && col("n_chars") <= r.getLong(3)).count()
+      val total = r.getLong(1)
+      assert(under * 2 >= total, s"$src: p50 upper edge covers only $under of $total")
+    }
+  }
+
+  test("q136 decay weights are the exact scaled geometric series and normalize correctly") {
+    // A constant series must smooth to itself: ewma_r == the constant.
+    import spark.implicits._
+    val const = (1 to 12).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2026-01-01 00:00:${i}%02d"), 7L, 2.5))
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = ops.Stats.decayTrailing(const)
+      .orderBy(col("event_id")).collect()
+    // After warm-up (8 rows), every smoothed value equals the input.
+    out.drop(7).foreach { r =>
+      assert(math.abs(r.getDouble(5) - 250.0) < 1e-6,
+        s"constant series must smooth to itself: $r")
+    }
+  }
+}
