@@ -11,7 +11,9 @@ object DebugPlan {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(args(0))(spark, "/root/testdata/sf0.001")
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val df = SparkEntry.queries(args(0))(spark, sfDir)
     df.collect()
     println("=== EXECUTED ===")
     println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))

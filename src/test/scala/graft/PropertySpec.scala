@@ -36,7 +36,8 @@ class PropertySpec extends SparkSpec {
       "Similarity" -> ops.Similarity.queries, "TextAnalysis" -> ops.TextAnalysis.queries,
       "Vectors2" -> ops.Vectors2.queries, "Multimodal" -> ops.Multimodal.queries,
       "Curation" -> ops.Curation.queries, "Pipeline" -> ops.Pipeline.queries,
-      "Linkage" -> ops.Linkage.queries, "Sketches" -> ops.Sketches.queries)
+      "Linkage" -> ops.Linkage.queries, "Sketches" -> ops.Sketches.queries,
+      "Graph" -> ops.Graph.queries, "Stats" -> ops.Stats.queries)
     val perModule = modules.map(_._2.size).sum
     assert(SparkEntry.queries.size == perModule,
       s"query-name collision: union has ${SparkEntry.queries.size} of $perModule names")
