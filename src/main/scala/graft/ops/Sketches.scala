@@ -71,9 +71,12 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  def heavyHitters(docs: DataFrame, ratio: Int = 30): DataFrame = {
-    val toks = tokenStream(docs)
-    val cells = cmCells(toks).collect()
+  /** (total token count, CM-estimate Column over a `tok` column) from the
+    * collected d×w cell rows — shared by batch q121 and the streaming
+    * [[graft.streaming.HeavyHitters]] monitor so both gate with literally
+    * the same broadcast-literal lookup expression.
+    */
+  private[graft] def cmEstimateCol(cells: Array[org.apache.spark.sql.Row]): (Long, Column) = {
     val total = cells.iterator.filter(_.getInt(0) == 0).map(_.getLong(2)).sum
     val maps: Seq[Map[Int, Long]] = (0 until cmDepth).map { i =>
       cells.iterator.filter(_.getInt(0) == i)
@@ -82,6 +85,12 @@ object Sketches {
     val est = least((0 until cmDepth).map { i =>
       coalesce(try_element_at(typedLit(maps(i)), bucketCol(col("tok"), i)), lit(0L))
     }: _*)
+    (total, est)
+  }
+
+  def heavyHitters(docs: DataFrame, ratio: Int = 30): DataFrame = {
+    val toks = tokenStream(docs)
+    val (total, est) = cmEstimateCol(cmCells(toks).collect())
     toks
       .filter(est * lit(ratio.toLong) >= lit(total)) // map-side CM gate
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -160,6 +169,11 @@ object Sketches {
     * compute the identical estimate — an approximate operator with a
     * hash-matching oracle, the q54/q101 trick applied to cardinality.
     *
+    * REGISTERED AS THE LABELED EXACT-AUDIT BASELINE (the q51-vs-q52
+    * pattern): q128b is the at-scale posture — sketch only, bounded
+    * state, no corpus-wide distinct. This variant exists to prove the
+    * estimator's error on real data end-to-end.
+    *
     * The report carries the exact distinct count and the error in ppm as
     * a self-audit; a production pipeline keeps ONLY the sketch side —
     * per-source state is k hashes (mergeable: union = k smallest of the
@@ -234,7 +248,9 @@ object Sketches {
     * estimate |A∪B| as usual, and estimate Jaccard as the fraction of
     * kept hashes present in BOTH sketches; |A∩B| ≈ J·|A∪B| in pure
     * integer arithmetic. The exact intersection (q104's join shape) rides
-    * along as a self-audit — at scale you run ONLY the sketch half:
+    * along as a self-audit — REGISTERED AS THE LABELED EXACT-AUDIT
+    * BASELINE (q130b is the sketch-only half, with no `sh ⋈ sh` anywhere
+    * in its plan) — at scale you run ONLY the sketch half:
     * 190 pairs × k hashes instead of a corpus-sized shingle self-join.
     *
     * k trades accuracy for state: the intersection estimate needs
@@ -332,15 +348,150 @@ object Sketches {
        FROM est e LEFT JOIN ex x ON e.s1 = x.xs1 AND e.s2 = x.xs2
        ORDER BY source1, source2"""
 
+  /** Shingle-occurrence stream with the shared 32-bit KMV hash — NO
+    * distinct, no window: dedup happens inside the bounded [[graft.functions.KmvAgg]]
+    * buffer, which is what makes the b-variants scale-safe.
+    */
+  private def kmvHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
+      .as("shingle"))
+      .select(col("source"), expr(
+        "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)").as("u"))
+
+  private val kmvSqlPrefix =
+    """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)),
+       h AS (SELECT DISTINCT source,
+                    list_reduce([strpos('0123456789abcdef',
+                                  substring(md5('kmv:' || shingle), i, 1)) - 1
+                                 FOR i IN generate_series(1, 8)]::BIGINT[],
+                                (a, v) -> a * 16 + v) AS u
+             FROM sh)"""
+
+  /** q128b — the SKETCH-ONLY posture of q128 (VERDICT r5 item 3): the
+    * registered plan carries no exact-audit branch, no corpus-wide
+    * `distinct`, and no window — just explode → hash → one bounded-state
+    * aggregate whose shuffle is `partitions x sources x k` longs. The
+    * per-source output is the sketch summary (kk, hk) plus the pure
+    * integer estimate, so the DuckDB oracle reproduces it bit-for-bit by
+    * ranking the same distinct hashes. The exact-vs-estimate audit lives
+    * in SketchSpec and the sf1 probes, where a vocabulary-sized job
+    * belongs — at 100 TB the registered query touches each shingle
+    * occurrence exactly once, map-side.
+    *
+    * (Dedup is by distinct hash VALUE — the KMV-correct universe — where
+    * q128's audit ranks distinct shingles; 32-bit collisions make the two
+    * kth values differ on rare ties, which is why this query has its own
+    * oracle rather than reusing q128's.)
+    */
+  def kmvDistinctSketch(docs: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(k))
+    kmvHashes(docs)
+      .groupBy(col("source")).agg(kmv(col("u")).as("sk"))
+      .select(col("source"),
+        size(col("sk")).cast("long").as("kk"),
+        element_at(col("sk"), size(col("sk"))).as("hk"))
+      .withColumn("kmv_est",
+        when(col("kk") < k, col("kk"))
+          .otherwise(expr("(kk - 1) * 4294967296 DIV hk")))
+      .orderBy(col("source"))
+  }
+
+  def q128bKmvDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    kmvDistinctSketch(t(s, dir, "documents"))
+
+  val q128bSql: String = kmvSqlPrefix +
+    """,
+       r AS (SELECT source, u,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rk
+             FROM h),
+       kth AS (SELECT source, MAX(u) AS hk, COUNT(*) AS kk FROM r WHERE rk <= 64
+               GROUP BY source)
+       SELECT source, kk, hk,
+              CASE WHEN kk < 64 THEN kk ELSE (kk - 1) * 4294967296 // hk END AS kmv_est
+       FROM kth ORDER BY source"""
+
+  /** q130b — q130's overlap matrix from the sketches ALONE (VERDICT r5
+    * item 3): per-source KMV arrays from the same bounded aggregate, then
+    * ALL pair algebra on the aggregated frame — ~|sources| rows, broadcast
+    * by construction — with array ops: union-sketch = k smallest of
+    * `array_union`, common = members of the union-sketch present in both
+    * sides, |A∩B| ≈ common·|A∪B| DIV kk in exact integers. The exact
+    * intersection (the `sh ⋈ sh` self-join the VERDICT flagged) appears
+    * nowhere in this plan; SketchSpec audits the estimates against it on
+    * fixtures instead. At 100 TB: one pass over occurrences + 190 pairs
+    * × 256 longs of driver-side-free array math.
+    */
+  def kmvOverlapSketch(docs: DataFrame, k: Int = 256,
+                       handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(k))
+    // Pinned: both sides of the pair join read the sketch frame; without
+    // the pin the corpus pass runs twice.
+    val sk = handle.pin(kmvHashes(docs)
+      .groupBy(col("source")).agg(kmv(col("u")).as("sk")))
+    val pairs = sk.select(col("source").as("source1"), col("sk").as("ska"))
+      .join(broadcast(sk.select(col("source").as("source2"), col("sk").as("skb"))),
+        col("source1") < col("source2"))
+    pairs
+      .withColumn("merged", slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .withColumn("kk", size(col("merged")).cast("long"))
+      .withColumn("hk", element_at(col("merged"), size(col("merged"))))
+      .withColumn("common",
+        size(array_intersect(array_intersect(col("merged"), col("ska")), col("skb")))
+          .cast("long"))
+      .withColumn("est_union",
+        when(col("kk") < k, col("kk"))
+          .otherwise(expr("(kk - 1) * 4294967296 DIV hk")))
+      .withColumn("est_inter", expr("common * est_union DIV kk"))
+      .select(col("source1"), col("source2"), col("est_union"), col("est_inter"))
+      .orderBy(col("source1"), col("source2"))
+  }
+
+  def q130bKmvOverlapSketch(s: SparkSession, dir: String): DataFrame =
+    kmvOverlapSketch(t(s, dir, "documents"))
+
+  val q130bSql: String = kmvSqlPrefix +
+    """,
+       sk AS (SELECT source, u FROM (
+                SELECT source, u,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rk
+                FROM h) WHERE rk <= 256),
+       pairs AS (SELECT DISTINCT a.source AS s1, b.source AS s2
+                 FROM sk a JOIN sk b ON a.source < b.source),
+       pooled AS (
+         SELECT p.s1, p.s2, s.u, COUNT(*) AS sides
+         FROM pairs p JOIN sk s ON s.source = p.s1 OR s.source = p.s2
+         GROUP BY 1, 2, 3),
+       ranked AS (SELECT s1, s2, u, sides,
+                         ROW_NUMBER() OVER (PARTITION BY s1, s2 ORDER BY u) AS rk
+                  FROM pooled),
+       kept AS (SELECT s1, s2, MAX(u) AS hk, COUNT(*) AS kk,
+                       CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS common
+                FROM ranked WHERE rk <= 256 GROUP BY 1, 2),
+       est AS (SELECT s1, s2, common, kk,
+                      CASE WHEN kk < 256 THEN kk
+                           ELSE (kk - 1) * 4294967296 // hk END AS est_union
+               FROM kept)
+       SELECT s1 AS source1, s2 AS source2, est_union,
+              CAST(common * est_union // kk AS BIGINT) AS est_inter
+       FROM est ORDER BY source1, source2"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_heavy_hitters" -> q121HeavyHitters,
     "q122_weighted_sample" -> q122WeightedSample,
     "q128_kmv_distinct" -> q128KmvDistinct,
-    "q130_kmv_overlap" -> q130KmvOverlap)
+    "q130_kmv_overlap" -> q130KmvOverlap,
+    "q128b_kmv_distinct_sketch" -> q128bKmvDistinctSketch,
+    "q130b_kmv_overlap_sketch" -> q130bKmvOverlapSketch)
 
   def oracle: Map[String, String] = Map(
     "q121_heavy_hitters" -> q121Sql,
     "q122_weighted_sample" -> q122Sql,
     "q128_kmv_distinct" -> q128Sql,
-    "q130_kmv_overlap" -> q130Sql)
+    "q130_kmv_overlap" -> q130Sql,
+    "q128b_kmv_distinct_sketch" -> q128bSql,
+    "q130b_kmv_overlap_sketch" -> q130bSql)
 }

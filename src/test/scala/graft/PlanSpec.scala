@@ -370,6 +370,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q128b sketch-only: one bounded-state aggregate — no window, no join, no corpus-wide distinct") {
+    // The at-scale KMV posture (VERDICT r5 item 3): the plan must be
+    // explode → hash → ObjectHashAggregate(KmvAgg), whose partial buffers
+    // cap at k longs. A Window would mean the old rank-over-distinct
+    // formulation crept back; a second hash Exchange would mean a
+    // vocabulary-sized distinct/groupBy materialized between scan and
+    // sketch.
+    val p = plan("q128b_kmv_distinct_sketch")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q130b sketch algebra: pair work on the aggregated sketch frame only — no shingle self-join") {
+    // The exact-intersection `sh ⋈ sh` self-join must appear nowhere; the
+    // only join is the source1<source2 pairing of the ~|sources|-row
+    // aggregated sketch frame (broadcast — a nested-loop there is |S|²
+    // array comparisons, not corpus work). No Window, no SortMergeJoin.
+    val p = plan("q130b_kmv_overlap_sketch")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("shingle"), p) // outer plan never touches shingles
+  }
+
   test("q124 hard negatives broadcast probes and queries; no cartesian, no nested loop") {
     val p = plan("q124_hard_negatives")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)

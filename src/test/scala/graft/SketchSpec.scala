@@ -102,6 +102,32 @@ class SketchSpec extends SparkSpec {
     assert(heavy >= 30, s"heavy=$heavy of 40")
   }
 
+  test("graft_char_entropy equals the explode+groupBy entropy formulation doc-for-doc") {
+    // The codegen'd per-row histogram (VERDICT r5 item 4) must reproduce
+    // the SQL formulation it replaced bit-for-bit on the real corpus —
+    // same double division, same Math.log, same HALF_UP micro-rounding.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaExpr = TextAnalysis.charEntropy(docs)
+      .select("doc_id", "n_distinct_chars", "ent_micro")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val chars = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+    val counts = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("len"), count(lit(1)).as("n_distinct_chars"))
+    val viaSql = counts.join(totals, "doc_id")
+      .withColumn("p", col("cnt").cast("double") / col("len"))
+      .withColumn("micro", round(col("p") * log(col("p")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"), col("n_distinct_chars"))
+      .agg((-sum(col("micro"))).as("ent_micro"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(viaExpr == viaSql,
+      s"diverged on ${viaExpr.keySet.union(viaSql.keySet).find(k => viaExpr.get(k) != viaSql.get(k))}")
+  }
+
   test("q123 entropy extremes: single-char text scores 0; uniform alphabets score ln(k) micro-nats") {
     // ln(8) = 2.08 nats sits BELOW the 2.5 low-entropy line (8 distinct
     // chars is still degenerate); ln(16) = 2.77 clears it.
@@ -221,6 +247,80 @@ class SketchSpec extends SparkSpec {
       .map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
     assert(estU == perSrc("srcA") + perSrc("srcB") - exactI,
       s"union $estU != ${perSrc("srcA")} + ${perSrc("srcB")} - $exactI")
+  }
+
+  test("KmvAgg: partitioning-invariant, duplicate-blind, merge == sketch-of-union") {
+    // The bounded-state aggregate behind q128b/q130b must produce the
+    // SAME sorted array no matter how the input is partitioned or
+    // duplicated — that's what makes the estimate deterministic across a
+    // 1000-executor shuffle. Exercise reduce+merge directly.
+    val agg = new graft.functions.KmvAgg(8)
+    val vals = Seq(50L, 3L, 97L, 3L, 14L, 80L, 22L, 61L, 8L, 45L, 14L, 99L, 1L, 73L, 36L)
+    val whole = vals.foldLeft(agg.zero)(agg.reduce)
+    // Split three ways with duplicates crossing the boundary, merge in an
+    // arbitrary tree shape.
+    val (p1, rest) = vals.splitAt(4)
+    val (p2, p3) = rest.splitAt(5)
+    val m = agg.merge(
+      p1.foldLeft(agg.zero)(agg.reduce),
+      agg.merge(p2.foldLeft(agg.zero)(agg.reduce), p3.foldLeft(agg.zero)(agg.reduce)))
+    assert(whole.toSeq == m.toSeq)
+    // k smallest DISTINCT of the multiset, ascending.
+    assert(whole.toSeq == vals.distinct.sorted.take(8))
+    // Saturated fast path: feeding values above the current max is a no-op.
+    val sat = (1L to 8L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.reduce(sat, 100L).toSeq == (1L to 8L))
+    // Empty-side merges.
+    assert(agg.merge(agg.zero, sat).toSeq == (1L to 8L))
+    assert(agg.merge(sat, agg.zero).toSeq == (1L to 8L))
+  }
+
+  test("q128b/q130b sketch-only estimates agree with the exact-audit baselines where complete") {
+    // On the q130 complete-sketch fixture (distinct < k) the sketch-only
+    // variants must reproduce the audit variants' estimates EXACTLY —
+    // dropping the audit branch changes the plan, never the estimator.
+    def text(words: Seq[String]) = words.mkString(" ")
+    val shared = (1 to 30).map(i => s"sh$i")
+    val docs = Seq(
+      (1L, text((1 to 40).map(i => s"a$i") ++ shared), "srcA", 0L),
+      (2L, text((1 to 40).map(i => s"b$i") ++ shared), "srcB", 0L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val audit = Sketches.kmvOverlap(docs).collect().head
+    val sketchOnly = Sketches.kmvOverlapSketch(docs).collect().head
+    assert(sketchOnly.getLong(2) == audit.getLong(2), "est_union diverged")
+    assert(sketchOnly.getLong(3) == audit.getLong(3), "est_inter diverged")
+    // q128b kk (complete sketch) == exact distinct-u count == q128's
+    // exact_distinct when no 32-bit collisions exist (true on this tiny
+    // fixture).
+    // k=256 keeps the per-source sketches complete here (68 distinct
+    // shingles each > the default k=64, which would saturate).
+    val exact = Sketches.kmvDistinct(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sketches.kmvDistinctSketch(docs, k = 256).collect().foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: sketch kk ${r.getLong(1)} != exact ${exact(r.getString(0))}")
+      assert(r.getLong(3) == exact(r.getString(0)), "complete-sketch estimate must be exact")
+    }
+  }
+
+  test("q128b estimator error is bounded on the sf corpus (k=64 ⇒ ~12.5% se; pin 50%)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Exact distinct-u per source (the sketch's universe), computed here
+    // in the SPEC — this vocabulary-sized job is exactly what the
+    // registered query no longer runs (VERDICT r5 item 3).
+    val exact = docs.select(col("source"), explode(expr(
+      """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+                   i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""")).as("shingle"))
+      .select(col("source"), expr(
+        "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)").as("u"))
+      .distinct().groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Sketches.kmvDistinctSketch(docs).collect().foreach { r =>
+      val (src, est) = (r.getString(0), r.getLong(3))
+      val ex = exact(src)
+      assert(math.abs(est - ex).toDouble / ex <= 0.5,
+        s"$src: est $est vs exact $ex — outside 4-sigma")
+    }
   }
 
   test("q129 k-anonymity: generalization only rescues, never newly suppresses") {

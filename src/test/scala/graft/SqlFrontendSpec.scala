@@ -53,7 +53,9 @@ class SqlFrontendSpec extends SparkSpec {
     "q120_dup_graph_rank", "q121_heavy_hitters", "q122_weighted_sample",
     "q123_char_entropy", "q124_hard_negatives", "q125_hybrid_retrieval",
     "q126_pattern_scan", "q127_tag_cooccurrence", "q128_kmv_distinct",
-    "q130_kmv_overlap", "q131_triangles", "q135_hist_quantiles")
+    "q130_kmv_overlap", "q131_triangles", "q135_hist_quantiles",
+    "q128b_kmv_distinct_sketch", "q130b_kmv_overlap_sketch",
+    "q137_consensus_dedup")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
