@@ -52,7 +52,9 @@ object VectorExpressions {
     ("graft_simhash", classOf[SimHashExpr].getName,
       arity1("graft_simhash", SimHashExpr(_))),
     ("graft_ahash", classOf[AHashExpr].getName,
-      arity1("graft_ahash", AHashExpr(_))))
+      arity1("graft_ahash", AHashExpr(_))),
+    ("graft_char_entropy", classOf[CharEntropyExpr].getName,
+      arity1("graft_char_entropy", CharEntropyExpr(_))))
 
   /** Idempotent session registration; exposes every [[builders]] entry in
     * SQL and `expr("graft_...(...)")`. All run inside whole-stage codegen.

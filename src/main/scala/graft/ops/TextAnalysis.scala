@@ -709,21 +709,19 @@ object TextAnalysis {
     * both on doc_id — no vocabulary-sized state anywhere.
     */
   def charEntropy(docs: DataFrame, lowMicroNats: Long = 2500000L): DataFrame = {
-    val chars = docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .filter(length(col("ch")) > 0)
-    val counts = chars.groupBy(col("doc_id"), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
-    val totals = counts.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("len"), count(lit(1)).as("n_distinct_chars"))
-    counts.join(totals, "doc_id")
-      .withColumn("p", col("cnt").cast("double") / col("len"))
-      .withColumn("micro", round(col("p") * log(col("p")) * 1e6).cast("long"))
-      .groupBy(col("doc_id"), col("n_distinct_chars"))
-      .agg((-sum(col("micro"))).as("ent_micro"))
+    // Round-6 posture (VERDICT r5 item 4): the whole histogram+entropy is
+    // one codegen'd per-row expression — scan → project → sort, zero data
+    // shuffles — replacing the row-per-character explode + two aggregate
+    // passes + join. Bit-identical output (see CharEntropyExpr scaladoc);
+    // the zero-length filter preserves the old "no chars → no row" drop.
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), expr("graft_char_entropy(text)").as("e"))
+      .select(col("doc_id"),
+        col("e.n_distinct_chars").as("n_distinct_chars"),
+        col("e.ent_micro").as("ent_micro"))
       .withColumn("low_entropy", col("ent_micro") < lowMicroNats)
-      .select(col("doc_id"), col("n_distinct_chars"), col("ent_micro"),
-        col("low_entropy"))
       .orderBy(col("doc_id"))
   }
 
