@@ -289,15 +289,21 @@ object Dedup {
     * hash-checkable against DuckDB — see q53Sql).
     */
   private val SimhashBits = 60 // 15 md5 hex chars; fits a signed 64-bit long
-  def q53Simhash(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
+  def q53Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(t(s, dir, "documents"))
+
+  /** Library form of q53 over any (doc_id, text) frame — also the SimHash
+    * leg of the q137 consensus ensemble.
+    */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     // Per-row signature ([[graft.functions.SimHashExpr]] — a bit-exact
     // replica of the grouped SQL formulation, DedupSpec-pinned): the
     // corpus scan emits (doc_id, simhash) directly, replacing round 3's
     // two token-carrying shuffles (explode → groupBy(doc, h) → 60-column
     // groupBy(doc)); the only shuffle left is the pigeonhole chunk join
     // on scalar keys.
-    val sigs = t(s, dir, "documents")
+    val sigs = docs
       .select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767)")).as(Seq("chunk", "cval")))
@@ -701,6 +707,69 @@ object Dedup {
               ROUND(COALESCE(p.n_dup_tokens, 0) * 1.0 / len(d2.toks), 6) AS dup_frac
        FROM d d2 LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id"""
 
+  /** q137 — consensus-ensemble near-dup detection: the three independent
+    * dup signals (lexical MinHash J ≥ 0.6, structural SimHash hamming ≤ 3,
+    * semantic embedding-cosine ≥ 0.45) voted per pair, keeping pairs at
+    * least two detectors agree on. This is how a production curation
+    * pipeline actually ships dedup — single-signal rules either over-kill
+    * (cosine flags paraphrases sharing no text) or under-kill (MinHash
+    * misses re-encodings); the 2-of-3 vote is the standard
+    * precision-recall compromise, and the per-detector flags are kept so
+    * downstream can audit WHY a pair died.
+    *
+    * Scale: each leg is its bucketed production form (LSH bands /
+    * pigeonhole chunks / hyperplane buckets — no all-pairs anywhere); the
+    * vote is a union + three equi left-joins on (id1, id2) pair keys, all
+    * candidate-proportional. Oracle: the same three pair sets as DuckDB
+    * derived tables (each leg's own proven oracle SQL), outer-voted the
+    * same way.
+    */
+  def consensusNearDups(docs: DataFrame, emb: DataFrame,
+                        minVotes: Int = 2,
+                        handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val mh = handle.pin(minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")))
+    val sh = handle.pin(simhashPairs(docs).select(col("id1"), col("id2")))
+    val em = handle.pin(embeddingNearDups(emb).select(col("id1"), col("id2")))
+    val ids = mh.unionByName(sh).unionByName(em).distinct()
+    ids
+      .join(mh.withColumn("by_minhash", lit(true)), Seq("id1", "id2"), "left_outer")
+      .join(sh.withColumn("by_simhash", lit(true)), Seq("id1", "id2"), "left_outer")
+      .join(em.withColumn("by_embedding", lit(true)), Seq("id1", "id2"), "left_outer")
+      .na.fill(false, Seq("by_minhash", "by_simhash", "by_embedding"))
+      .withColumn("votes",
+        col("by_minhash").cast("long") + col("by_simhash").cast("long")
+          + col("by_embedding").cast("long"))
+      .filter(col("votes") >= minVotes)
+      .select(col("id1"), col("id2"), col("by_minhash"), col("by_simhash"),
+        col("by_embedding"), col("votes"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def q137ConsensusDedup(s: SparkSession, dir: String): DataFrame =
+    consensusNearDups(
+      t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))
+
+  val q137Sql: String =
+    s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
+       s AS (SELECT id1, id2 FROM ($q53Pairs)),
+       e AS (SELECT id1, id2 FROM ($q54Sql)),
+       u AS (SELECT id1, id2 FROM m UNION SELECT id1, id2 FROM s
+             UNION SELECT id1, id2 FROM e),
+       voted AS (
+         SELECT u.id1, u.id2,
+                (m.id1 IS NOT NULL) AS by_minhash,
+                (s.id1 IS NOT NULL) AS by_simhash,
+                (e.id1 IS NOT NULL) AS by_embedding,
+                CAST((m.id1 IS NOT NULL)::INT + (s.id1 IS NOT NULL)::INT
+                     + (e.id1 IS NOT NULL)::INT AS BIGINT) AS votes
+         FROM u LEFT JOIN m ON u.id1 = m.id1 AND u.id2 = m.id2
+                LEFT JOIN s ON u.id1 = s.id1 AND u.id2 = s.id2
+                LEFT JOIN e ON u.id1 = e.id1 AND u.id2 = e.id2)
+       SELECT id1, id2, by_minhash, by_simhash, by_embedding, votes
+       FROM voted WHERE votes >= 2 ORDER BY id1, id2"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_dedup_exact" -> (q50DedupExact _),
     "q51_dedup_jaccard" -> (q51DedupJaccard _),
@@ -711,7 +780,8 @@ object Dedup {
     "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _),
     "q101_embedding_neardup_r8" -> (q101EmbeddingNeardupR8 _),
     "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _),
-    "q115_repeated_spans" -> (q115RepeatedSpans _))
+    "q115_repeated_spans" -> (q115RepeatedSpans _),
+    "q137_consensus_dedup" -> (q137ConsensusDedup _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -725,5 +795,6 @@ object Dedup {
     "q81_dedup_jaccard_prefix" -> q51Sql,
     "q101_embedding_neardup_r8" -> q101Sql,
     "q102_embedding_neardup_multiprobe" -> q102Sql,
-    "q115_repeated_spans" -> q115Sql)
+    "q115_repeated_spans" -> q115Sql,
+    "q137_consensus_dedup" -> q137Sql)
 }
