@@ -198,6 +198,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavy-hitters monitor: stream report ⊇ exact heavy set, overestimates only, exactly-once replay") {
+    implicit val ctx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("hh-monitor").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hh-ckpt").toString
+    val in = MemoryStream[String]
+    val q = graft.streaming.HeavyHitters.monitor(
+      in.toDF().toDF("tok"), root, ckpt, ratio = 10, k = 10)
+    try {
+      // 'hot' is heavy overall but appears ONLY in the first two batches —
+      // the candidate-retention property (a true heavy hitter, once a
+      // candidate, is never evicted by the rising threshold) is what keeps
+      // it in the final report.
+      in.addData(Seq.fill(30)("hot") ++ (1 to 10).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(10)("hot") ++ (11 to 20).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(25)("warm") ++ (21 to 35).map(i => s"a$i"): _*)
+      q.processAllAvailable()
+      val batches = new java.io.File(s"$root/report").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted
+      assert(batches.length == 3, batches.mkString(","))
+      val last = batches.max
+      val report = spark.read.parquet(s"$root/report/batch_id=$last")
+        .as[(String, Long)].collect().toMap
+      // Exact heavy set over the full stream: hot 40/100, warm 25/100 at
+      // ratio 10 (threshold 10); every a_i is 1.
+      assert(report.contains("hot") && report.contains("warm"), report.toString)
+      assert(report.keySet.intersect((1 to 35).map(i => s"a$i").toSet).isEmpty,
+        s"light token leaked into the report: $report")
+      // CM never underestimates.
+      assert(report("hot") >= 40L && report("warm") >= 25L, report.toString)
+      // Exactly-once: replaying the LAST batch through the exposed step
+      // must leave the report byte-identical (reads only < batchId state).
+      val before = spark.read.parquet(s"$root/report/batch_id=$last")
+        .collect().map(_.toSeq).toSet
+      val replayToks = (Seq.fill(25)("warm") ++ (21 to 35).map(i => s"a$i")).toDF("tok")
+      graft.streaming.HeavyHitters.processBatch(replayToks, root, last, ratio = 10, k = 10)
+      val after = spark.read.parquet(s"$root/report/batch_id=$last")
+        .collect().map(_.toSeq).toSet
+      assert(before == after, "replay changed the published report")
+      // Convergence with the batch operator: the stream's final cells
+      // equal batch cmCells over the concatenated stream (same grid).
+      val allToks = (Seq.fill(40)("hot") ++ Seq.fill(25)("warm")
+        ++ (1 to 35).map(i => s"a$i")).toDF("tok")
+      val batchCells = graft.ops.Sketches.cmCells(allToks)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val streamCells = spark.read.parquet(s"$root/cells/batch_id=$last")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(streamCells == batchCells, "stream cells diverged from batch cells")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals update incrementally") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
