@@ -38,9 +38,20 @@ object Graph {
     * text. Driver moves no data.
     */
   def triangleCounts(docs: DataFrame,
-                     handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
-    val und = handle.pin(
-      Dedup.minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")))
+                     handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame =
+    triangleCountsFromEdges(
+      Dedup.minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")),
+      handle)
+
+  /** Edge-level entry point: `edges` is any undirected id1<id2 edge frame
+    * (one row per unordered pair). Exposed so callers can bring their own
+    * graph — and so StatsGraphSpec can drive the orientation's wedge
+    * bound on adversarial (hot-hub) fixtures directly, without having to
+    * plant text that mines into a star.
+    */
+  def triangleCountsFromEdges(edges: DataFrame,
+                              handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+    val und = handle.pin(edges.select(col("id1"), col("id2")))
     val deg = und.select(col("id1").as("v"))
       .unionByName(und.select(col("id2").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

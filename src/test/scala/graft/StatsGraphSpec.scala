@@ -39,6 +39,78 @@ class StatsGraphSpec extends SparkSpec {
       s"open chain must close no triangle: ${byId.mkString(",")}")
   }
 
+  test("q131 skew stress: degree orientation bounds wedge fan-out under a hot hub + dense clique") {
+    // Adversarial graph (VERDICT r5 item 7): a 400-leaf star (the hot-key
+    // shape natural dup graphs produce around boilerplate templates) plus
+    // a 40-vertex clique (the dense end). Unoriented wedge generation
+    // from the hub alone is C(400,2) = 79,800; the (degree, id)
+    // orientation points every star edge leaf→hub (degree 1 < 400), so
+    // the hub generates ZERO wedges and the whole wedge volume collapses
+    // to the clique's bounded fan-out.
+    import spark.implicits._
+    val star = (1L to 400L).map(leaf => (1000L + leaf, 5000L)) // hub = 5000
+    val clique = for {
+      a <- 1L to 40L; b <- (a + 1) to 40L
+    } yield (2000L + a, 2000L + b)
+    val edges = (star ++ clique).toDF("id1", "id2")
+    val handle = new ops.StorageHandle
+    val out = ops.Graph.triangleCountsFromEdges(edges, handle).collect()
+    handle.release()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // Correctness under skew: the star closes nothing; every clique
+    // vertex closes C(39,2) = 741 triangles at degree 39.
+    assert(!byId.contains(5000L) && !byId.exists(kv => kv._1 > 1000L && kv._1 <= 1400L),
+      "star vertices must close no triangles")
+    (1L to 40L).foreach { a =>
+      assert(byId(2000L + a) == ((39L, 741L)), s"clique vertex $a: ${byId(2000L + a)}")
+    }
+    // The bound itself: replicate the operator's orientation rule and
+    // assert max oriented out-degree ≤ clique degree (39) even though the
+    // max UNDIRECTED degree is 400 — the wedge join's per-vertex fan-out
+    // is C(outdeg, 2), so this is the line between 741 wedges and 79,800.
+    val deg = edges.select(col("id1").as("v")).unionByName(edges.select(col("id2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val outDeg = edges
+      .join(deg.as("d1"), col("id1") === col("d1.v"))
+      .join(deg.as("d2"), col("id2") === col("d2.v"))
+      .select(when(col("d1.d") < col("d2.d") ||
+        (col("d1.d") === col("d2.d") && col("id1") < col("id2")),
+        col("id1")).otherwise(col("id2")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).as[Long].head()
+    assert(outDeg <= 39L, s"orientation failed to bound fan-out: max out-degree $outDeg")
+  }
+
+  test("q134 skew stress: hot source (75% of rows) medians stay exact through the spillable sort") {
+    // One source owns 75% of the corpus — the skewed-shuffle shape where
+    // a collect-based or in-memory median would concentrate the corpus on
+    // one task. The operator's median is a row_number window over a
+    // shuffle SORT (UnsafeExternalSorter — spills to disk instead of
+    // OOM), so the hot key costs time, not memory. Assert the plan uses
+    // exactly that shape (Window over Sort, no collect boundary) and that
+    // the answer on the hot fixture is exact.
+    import spark.implicits._
+    val hot = (1 to 3000).map(i => (i.toLong, "hot", (i % 101).toLong * 10L))
+    val cold = (1 to 1000).map(i => (3000L + i, s"cold${i % 5}", i.toLong))
+    val docs = (hot ++ cold).toDF("doc_id", "source", "n_chars")
+    val out = ops.Stats.madOutliers(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Sort"), plan)
+    assert(!plan.contains("CollectLimit"), plan)
+    val rows = out.collect()
+    // Exact check for the hot source: n_chars uniform over {0,10,...,1000}
+    // → median 500, MAD 250, fence 750 → |x−500| > 750 never holds: the
+    // hot source must produce NO outliers (a mean/stddev fence would,
+    // under this symmetric distribution, also be quiet — the point here is
+    // the exact integer answer surviving the skewed sort, not robustness,
+    // which "q134 MAD fence is robust" already pins).
+    assert(!rows.exists(_.getString(0) == "hot"),
+      s"hot source flagged: ${rows.filter(_.getString(0) == "hot").take(3).mkString(";")}")
+    // Cold sources still evaluated independently and exactly.
+    assert(rows.forall(r => r.getDouble(5) > 3.0 * r.getDouble(4)))
+  }
+
   test("q132 transition probabilities row-normalize to 1 per from-state") {
     val rows = ops.EventOps.q132TransitionMatrix(spark, sfDir)
       .groupBy(col("from_type")).agg(sum(col("p_r")).as("s"))
