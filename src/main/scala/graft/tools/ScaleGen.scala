@@ -68,6 +68,22 @@ object ScaleGen {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
+    // events (round 6, for the q132/q133/q136 probes): replica k shifts
+    // event_id and user_id past the source maxima — replicas are disjoint
+    // user populations over the same clock, so per-user analyses (SCD2,
+    // sessions, EWMA) gain exactly `factor`× rows with identical per-user
+    // shape, and cross-user aggregations (transition matrix) see `factor`×
+    // evidence for the SAME answer. ts/type/value/props are untouched.
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    val maxEvent = ev.agg(max(col("event_id"))).first().getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).first().getLong(0) + 1
+    (0 until factor).map { k =>
+      ev.select((col("event_id") + lit(k * maxEvent)).as("event_id"),
+        col("ts"), (col("user_id") + lit(k * maxUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
     println(s"SCALEGEN wrote $outDir at factor $factor")
     spark.stop()
   }
