@@ -726,10 +726,12 @@ object Dedup {
     */
   def consensusNearDups(docs: DataFrame, emb: DataFrame,
                         minVotes: Int = 2,
+                        embBits: Int = graft.functions.Hyperplanes.bits,
                         handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val mh = handle.pin(minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")))
     val sh = handle.pin(simhashPairs(docs).select(col("id1"), col("id2")))
-    val em = handle.pin(embeddingNearDups(emb).select(col("id1"), col("id2")))
+    val em = handle.pin(embeddingNearDups(emb, bitsPerTable = embBits)
+      .select(col("id1"), col("id2")))
     val ids = mh.unionByName(sh).unionByName(em).distinct()
     ids
       .join(mh.withColumn("by_minhash", lit(true)), Seq("id1", "id2"), "left_outer")
@@ -745,16 +747,23 @@ object Dedup {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** The embedding leg runs the SCALED 8-bit geometry (q101), not the
+    * 4-bit default: the sf1 probe caught the default's same-bucket
+    * candidate volume turning q137 into a 102 s query at 10× rows (the
+    * exact blow-up q101 was built to fix — 8-bit holds the same probe at
+    * ~9 s). Composition queries must compose the at-scale postures.
+    */
   def q137ConsensusDedup(s: SparkSession, dir: String): DataFrame =
     consensusNearDups(
       t(s, dir, "documents"),
       t(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      embBits = 8)
 
   val q137Sql: String =
     s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
        s AS (SELECT id1, id2 FROM ($q53Pairs)),
-       e AS (SELECT id1, id2 FROM ($q54Sql)),
+       e AS (SELECT id1, id2 FROM ($q101Sql)),
        u AS (SELECT id1, id2 FROM m UNION SELECT id1, id2 FROM s
              UNION SELECT id1, id2 FROM e),
        voted AS (
