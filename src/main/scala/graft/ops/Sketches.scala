@@ -351,14 +351,27 @@ object Sketches {
   /** Shingle-occurrence stream with the shared 32-bit KMV hash — NO
     * distinct, no window: dedup happens inside the bounded [[graft.functions.KmvAgg]]
     * buffer, which is what makes the b-variants scale-safe.
+    *
+    * Small-input backfill: the per-occurrence md5 is the plan's only CPU
+    * term, and it runs inside the SCAN stage — whose parallelism is the
+    * file-split count. The sf test tables are single sub-row-group files
+    * (1 split), which would serialize millions of md5s onto one core; a
+    * corpus-scale input has orders of magnitude more splits than cores
+    * and takes the no-op branch, so no shuffle is ever added at scale.
+    * (The audit variants dodge this by accident — they hash AFTER their
+    * corpus-wide distinct exchange, the thing q128b exists to avoid.)
     */
-  private def kmvHashes(docs: DataFrame): DataFrame =
-    docs.select(col("source"), explode(expr(
+  private def kmvHashes(docs: DataFrame): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions >= par) docs else docs.repartition(par)
+    spread.select(col("source"), explode(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
                    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
       .as("shingle"))
       .select(col("source"), expr(
         "CAST(conv(substring(md5(concat('kmv:', shingle)), 1, 8), 16, 10) AS BIGINT)").as("u"))
+  }
 
   private val kmvSqlPrefix =
     """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
