@@ -54,7 +54,9 @@ object VectorExpressions {
     ("graft_ahash", classOf[AHashExpr].getName,
       arity1("graft_ahash", AHashExpr(_))),
     ("graft_char_entropy", classOf[CharEntropyExpr].getName,
-      arity1("graft_char_entropy", CharEntropyExpr(_))))
+      arity1("graft_char_entropy", CharEntropyExpr(_))),
+    ("graft_char_trigrams", classOf[CharTrigramsExpr].getName,
+      arity1("graft_char_trigrams", CharTrigramsExpr(_))))
 
   /** Idempotent session registration; exposes every [[builders]] entry in
     * SQL and `expr("graft_...(...)")`. All run inside whole-stage codegen.

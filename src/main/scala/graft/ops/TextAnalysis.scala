@@ -198,22 +198,25 @@ object TextAnalysis {
        WHERE rank <= 3 ORDER BY doc_id, rank"""
 
   /** Character 3-gram profile (the classic language/script fingerprint
-    * primitive): explode all char trigrams, global top-20 by frequency.
-    * substring+sequence+explode — no UDF, codegen'd end to end.
+    * primitive): global top-20 trigrams by frequency.
+    *
+    * Round-6 posture (reversing the round-4 "char-explode bound" negative
+    * result): [[graft.functions.CharTrigramsExpr]] emits the whole per-doc
+    * trigram histogram per row, so the scan produces one row per DISTINCT
+    * trigram per doc instead of one per character position, and the only
+    * shuffle is the global (trigram) partial agg. `sum` over per-doc
+    * counts == `count` over positions, so the oracle is unchanged.
     */
-  def q65CharNgrams(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(explode(expr(
-        // IF-guard: Spark sequence(1,0) = [1,0] (descending, not empty)
-        // and substring(text, 0, 3) silently re-reads from position 1.
-        """IF(length(text) >= 3,
-              transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)),
-              array())"""))
-        .as("trigram"))
+  def q65CharNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs
+      .select(explode(expr("graft_char_trigrams(text)")).as(Seq("trigram", "c")))
       .groupBy(col("trigram"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("c")).as("n"))
       .orderBy(col("n").desc, col("trigram").asc)
       .limit(20)
+  }
 
   val q65Sql: String =
     """SELECT trigram, COUNT(*) AS n

@@ -138,7 +138,7 @@ class ScaleTechniquesSpec extends SparkSpec {
     val names = graft.functions.VectorExpressions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_lsh_buckets", "graft_shingle_hashes",
       "graft_minhash_sig", "graft_minhash_bands", "graft_simhash", "graft_ahash",
-      "graft_char_entropy"), names)
+      "graft_char_entropy", "graft_char_trigrams"), names)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
@@ -153,7 +153,8 @@ class ScaleTechniquesSpec extends SparkSpec {
       "graft_minhash_bands(graft_shingle_hashes(array('a','b','c','d')))",
       "graft_simhash(array('a','b'))",
       "graft_ahash('abcdef')",
-      "graft_char_entropy('aabbb').ent_micro").foreach { call =>
+      "graft_char_entropy('aabbb').ent_micro",
+      "graft_char_trigrams('abcab')['abc']").foreach { call =>
       assert(spark.sql(s"SELECT $call AS v").collect().length == 1, call)
     }
     // Wrong arity raises (not silently dropped) — same builder both paths.

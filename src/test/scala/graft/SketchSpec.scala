@@ -128,6 +128,30 @@ class SketchSpec extends SparkSpec {
       s"diverged on ${viaExpr.keySet.union(viaSql.keySet).find(k => viaExpr.get(k) != viaSql.get(k))}")
   }
 
+  test("graft_char_trigrams equals the substring+sequence+explode formulation trigram-for-trigram") {
+    graft.functions.VectorExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val viaExpr = docs
+      .select(explode(expr("graft_char_trigrams(text)")).as(Seq("trigram", "c")))
+      .groupBy("trigram").agg(sum(col("c")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaSql = docs
+      .select(explode(expr(
+        """IF(length(text) >= 3,
+              transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)),
+              array())""")).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaSql,
+      s"diverged on ${viaExpr.keySet.union(viaSql.keySet).find(k => viaExpr.get(k) != viaSql.get(k))}")
+    // Edge rows: under-3-char and empty texts emit empty maps (no rows).
+    val edge = Seq((1L, "ab"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+      .select(explode(expr("graft_char_trigrams(text)")).as(Seq("trigram", "c")))
+      .collect()
+    assert(edge.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("abc", 1L)))
+  }
+
   test("q123 entropy extremes: single-char text scores 0; uniform alphabets score ln(k) micro-nats") {
     // ln(8) = 2.08 nats sits BELOW the 2.5 low-entropy line (8 distinct
     // chars is still degenerate); ln(16) = 2.77 clears it.
