@@ -361,10 +361,13 @@ object Sketches {
     * (The audit variants dodge this by accident — they hash AFTER their
     * corpus-wide distinct exchange, the thing q128b exists to avoid.)
     */
-  private def kmvHashes(docs: DataFrame): DataFrame = {
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Streaming frames can't answer getNumPartitions (and micro-batch
+    // parallelism is the source's own); the backfill is batch-only.
     val spread =
-      if (docs.rdd.getNumPartitions >= par) docs else docs.repartition(par)
+      if (docs.isStreaming || docs.rdd.getNumPartitions >= par) docs
+      else docs.repartition(par)
     spread.select(col("source"), explode(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
                    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))

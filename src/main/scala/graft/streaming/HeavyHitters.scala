@@ -102,4 +102,31 @@ object HeavyHitters {
         processBatch(batch, root, batchId, ratio, k)
       }
       .start()
+
+  /** Live per-source distinct-cardinality monitor — the streaming face of
+    * q128b, and the proof that [[graft.functions.KmvAgg]] IS streaming
+    * state: the same bounded typed Aggregator runs inside a streaming
+    * groupBy, so the state store holds exactly one k-long sorted array
+    * per source no matter how much stream passes through, incrementally
+    * checkpointed like any other aggregation state. Because "k smallest
+    * distinct" is order-invariant, the running estimate after N batches
+    * is BIT-IDENTICAL to batch q128b over the concatenation of those
+    * batches (StreamingSpec pins the equality) — the mergeability
+    * property, exercised by the engine's own state-store merge path
+    * instead of a hand-rolled union.
+    *
+    * Returns the running (source, kk, hk, kmv_est) frame; attach any sink
+    * (complete mode — per-source rows, output is \|sources\|-bounded).
+    */
+  def kmvDistinctEstimates(docs: DataFrame, k: Int = 64): DataFrame = {
+    val kmv = org.apache.spark.sql.functions.udaf(new graft.functions.KmvAgg(k))
+    graft.ops.Sketches.kmvHashes(docs)
+      .groupBy(col("source")).agg(kmv(col("u")).as("sk"))
+      .select(col("source"),
+        size(col("sk")).cast("long").as("kk"),
+        element_at(col("sk"), size(col("sk"))).as("hk"))
+      .withColumn("kmv_est",
+        when(col("kk") < k, col("kk"))
+          .otherwise(expr("(kk - 1) * 4294967296 DIV hk")))
+  }
 }
