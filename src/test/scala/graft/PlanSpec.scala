@@ -370,6 +370,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q137 consensus composes bucketed miners only: no cartesian, no nested loop") {
+    // Three miners + the vote = a join-heavy plan; every one of them must
+    // stay an equi join (band keys, chunk values, LSH buckets, pair keys).
+    // A cartesian or nested loop here would mean a leg regressed to its
+    // all-pairs formulation.
+    val p = plan("q137_consensus_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q65 trigram profile: per-row histogram expression + global top-k heap") {
+    // The round-6 posture: the scan emits graft_char_trigrams maps (one
+    // row per distinct trigram per doc after the generator), one partial
+    // agg pair on the trigram key, and the final 20 comes from
+    // TakeOrderedAndProject — never a total sort of the trigram universe.
+    val p = plan("q65_char_ngrams")
+    assert(p.contains("graft_char_trigrams"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("q128b sketch-only: one bounded-state aggregate — no window, no join, no corpus-wide distinct") {
     // The at-scale KMV posture (VERDICT r5 item 3): the plan must be
     // explode → hash → ObjectHashAggregate(KmvAgg), whose partial buffers
