@@ -89,6 +89,25 @@ object HeavyHitters {
       s"$root/cells", batchId)
     IdempotentSink.writeBatch(newCand.select(col("tok")), s"$root/cand", batchId)
     IdempotentSink.writeBatch(report, s"$root/report", batchId)
+    // State retention: only the latest PRIOR state is ever read, and
+    // Structured Streaming replays at most the latest uncommitted batch —
+    // so batch N commits make state <= N-2 unreachable. Prune it, or a
+    // long-lived monitor accumulates one directory per batch forever.
+    // (report/ is the consumable log — never pruned here; IdempotentSink
+    // .compact is its reclamation path.)
+    pruneState(spark, s"$root/cells", batchId - 1)
+    pruneState(spark, s"$root/cand", batchId - 1)
+  }
+
+  /** Delete `batch_id=M` state directories with M strictly below `keepFrom`. */
+  private def pruneState(spark: SparkSession, root: String, keepFrom: Long): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+      .filter(_.getName.stripPrefix("batch_id=").toLong < keepFrom)
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Attach the monitor to a streaming token frame (column `tok`). */

@@ -239,6 +239,14 @@ class StreamingSpec extends SparkSpec {
       val after = spark.read.parquet(s"$root/report/batch_id=$last")
         .collect().map(_.toSeq).toSet
       assert(before == after, "replay changed the published report")
+      // State retention: cells/cand keep only {last-1, last} (pruned —
+      // a long-lived monitor must not grow one state dir per batch);
+      // report keeps the full consumable log.
+      def stateIds(sub: String) = new java.io.File(s"$root/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id="))
+        .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+      assert(stateIds("cells") == Seq(last - 1, last), stateIds("cells").toString)
+      assert(stateIds("cand") == Seq(last - 1, last), stateIds("cand").toString)
       // Convergence with the batch operator: the stream's final cells
       // equal batch cmCells over the concatenated stream (same grid).
       val allToks = (Seq.fill(40)("hot") ++ Seq.fill(25)("warm")
