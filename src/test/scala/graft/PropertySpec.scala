@@ -116,6 +116,26 @@ class PropertySpec extends SparkSpec {
     assert(once.size == 3)
   }
 
+  test("KmvAgg equals sorted-distinct-take-k under arbitrary multisets and split points") {
+    // The bounded-state sketch must behave as the pure function
+    // "k smallest distinct" for ANY input multiset and ANY partitioning —
+    // the property the q128b/q130b shuffle correctness rides on.
+    val agg = new graft.functions.KmvAgg(6)
+    val gen = Gen.zip(
+      Gen.listOf(Gen.chooseNum(0L, 30L)), // dense range forces duplicates
+      Gen.chooseNum(0, 100))
+    forAll(gen) { case (vals, splitPct) =>
+      val expected = vals.distinct.sorted.take(6)
+      val whole = vals.foldLeft(agg.zero)(agg.reduce)
+      assert(whole.toSeq == expected, s"reduce: $vals")
+      val cut = vals.length * splitPct / 100
+      val (l, r) = vals.splitAt(cut)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == expected, s"merge at $cut: $vals")
+    }
+  }
+
   test("graft_dot equals the interpreted fold on arbitrary vectors") {
     graft.functions.VectorExpressions.register(spark)
     val vecGen = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
