@@ -188,12 +188,86 @@ object Stats {
        FROM s ORDER BY user_id, event_id"""
   }
 
+  /** q138 — the MERGEABLE posture of q134 (the q128→q128b pattern applied
+    * to robust stats): both medians read off fixed-width histograms
+    * instead of sort-windows, so per-source state is bin-bounded
+    * (map-side-combined (source, bin) counts; the cumulative window runs
+    * over sources × bins rows, never the corpus), and the whole fence is
+    * exact BIGINT arithmetic — the median is reported as its bin's upper
+    * edge (q135's honest convention), the deviation median likewise, and
+    * `dev > fence · mad_ub` is an integer comparison both engines decide
+    * identically. At 100 TB this is the path you actually run: two
+    * broadcast-sized histogram aggregations + two broadcast-back joins,
+    * zero corpus-wide sorts; q134 stays as the exact audit (its scaladoc
+    * already promised exactly this swap).
+    *
+    * Resolution honesty: mad_ub ≥ true MAD by at most one bin, so the
+    * histogram fence is (slightly) more conservative — it can only
+    * UNDER-flag relative to the exact fence by the bin-width margin,
+    * never over-flag spuriously; StatsGraphSpec pins flagged ⊆ exact
+    * -fence-with-slack on the hot fixture.
+    */
+  def madOutliersHist(docs: DataFrame, fence: Long = 3L, binWidth: Long = 100L): DataFrame = {
+    def histMedianUb(df: DataFrame, v: String, out: String): DataFrame = {
+      val bySrc = Window.partitionBy(col("source"))
+      df.select(col("source"), expr(s"$v DIV $binWidth").as("bin"))
+        .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(
+          bySrc.orderBy(col("bin").asc).rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum(col("n")).over(bySrc))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("source"))
+        .agg(((min(col("bin")) + 1) * binWidth).as(out))
+    }
+    val med = histMedianUb(docs.select(col("source"), col("n_chars")), "n_chars", "med_ub")
+    val dev = docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(med), "source")
+      .withColumn("dev", abs(col("n_chars") - col("med_ub")))
+    val mad = histMedianUb(dev.select(col("source"), col("dev")), "dev", "mad_ub")
+    dev.join(broadcast(mad), "source")
+      .filter(col("dev") > lit(fence) * col("mad_ub"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        col("med_ub"), col("mad_ub"), col("dev"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  def q138MadOutliersHist(s: SparkSession, dir: String): DataFrame =
+    madOutliersHist(t(s, dir, "documents"))
+
+  val q138Sql: String =
+    """WITH h1 AS (SELECT source, n_chars // 100 AS bin, COUNT(*) AS n
+                 FROM documents GROUP BY 1, 2),
+       c1 AS (SELECT source, bin,
+                     SUM(n) OVER (PARTITION BY source ORDER BY bin ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(n) OVER (PARTITION BY source) AS total
+              FROM h1),
+       m1 AS (SELECT source, (MIN(bin) + 1) * 100 AS med_ub
+              FROM c1 WHERE cum * 2 >= total GROUP BY source),
+       d AS (SELECT doc_id, dd.source, n_chars, med_ub,
+                    ABS(n_chars - med_ub) AS dev
+             FROM documents dd JOIN m1 USING (source)),
+       h2 AS (SELECT source, dev // 100 AS bin, COUNT(*) AS n FROM d GROUP BY 1, 2),
+       c2 AS (SELECT source, bin,
+                     SUM(n) OVER (PARTITION BY source ORDER BY bin ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     SUM(n) OVER (PARTITION BY source) AS total
+              FROM h2),
+       m2 AS (SELECT source, (MIN(bin) + 1) * 100 AS mad_ub
+              FROM c2 WHERE cum * 2 >= total GROUP BY source)
+       SELECT d.source, d.doc_id, d.n_chars, d.med_ub, m2.mad_ub, d.dev
+       FROM d JOIN m2 USING (source)
+       WHERE d.dev > 3 * m2.mad_ub
+       ORDER BY d.source, d.doc_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_mad_outliers_hist" -> (q138MadOutliersHist _),
     "q134_mad_outliers" -> (q134MadOutliers _),
     "q135_hist_quantiles" -> (q135HistQuantiles _),
     "q136_decay_trailing" -> (q136DecayTrailing _))
 
   val oracle: Map[String, String] = Map(
+    "q138_mad_outliers_hist" -> q138Sql,
     "q134_mad_outliers" -> q134Sql,
     "q135_hist_quantiles" -> q135Sql,
     "q136_decay_trailing" -> q136Sql)

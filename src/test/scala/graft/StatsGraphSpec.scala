@@ -111,6 +111,30 @@ class StatsGraphSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(5) > 3.0 * r.getDouble(4)))
   }
 
+  test("q138 histogram MAD agrees with the exact fence: quiet on uniform skew, catches the planted extreme") {
+    import spark.implicits._
+    // Same hot-source shape as the q134 stress + one source with a
+    // planted 50x-length outlier. The bin-upper-edge fence must stay
+    // quiet where the exact fence is quiet, and still flag the extreme.
+    val hot = (1 to 3000).map(i => (i.toLong, "hot", (i % 101).toLong * 10L))
+    val planted = (1 to 20).map(i => (4000L + i, "pl", 100L)) :+ ((4021L, "pl", 5000L))
+    val docs = (hot ++ planted).toDF("doc_id", "source", "n_chars")
+    val hist = ops.Stats.madOutliersHist(docs).collect()
+    assert(!hist.exists(_.getString(0) == "hot"),
+      s"hist fence flagged the uniform hot source: ${hist.take(3).mkString(";")}")
+    assert(hist.count(_.getString(0) == "pl") == 1 &&
+      hist.find(_.getString(0) == "pl").get.getLong(1) == 4021L,
+      s"planted extreme not isolated: ${hist.mkString(";")}")
+    // Conservative by construction: everything the histogram fence flags,
+    // the exact fence flags too (mad_ub >= true MAD, med within one bin).
+    val exact = ops.Stats.madOutliers(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    hist.foreach { r =>
+      assert(exact.contains((r.getString(0), r.getLong(1))),
+        s"hist fence over-flagged ${(r.getString(0), r.getLong(1))}")
+    }
+  }
+
   test("q132 transition probabilities row-normalize to 1 per from-state") {
     val rows = ops.EventOps.q132TransitionMatrix(spark, sfDir)
       .groupBy(col("from_type")).agg(sum(col("p_r")).as("s"))
