@@ -960,7 +960,55 @@ object Curation {
        ORDER BY n.doc_id"""
   }
 
+  /** q139 — RAG-style document chunking: overlapping fixed token windows
+    * (size 64, stride 48) per document, each with its 1-based start
+    * offset, actual token count (tail chunks run short), and an md5
+    * fingerprint of the chunk text — the manifest an embedding/indexing
+    * stage consumes, and the within-doc complement of q119's cross-doc
+    * sequence packing. Window count per doc is
+    * 1 + ceil(max(n−size,0)/stride), so the final window always covers
+    * the tail and no window starts beyond the text.
+    *
+    * Scale: pure per-row arithmetic — split once, explode one row per
+    * CHUNK (not per token; rows ≈ n/stride), fingerprint inside the
+    * scan. Zero shuffles except the presentation sort; at 100 TB this is
+    * a map-only pass whose output is the chunk manifest joined later by
+    * whatever consumes it (vectorizer, ANN indexer).
+    */
+  def chunkWindows(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("kmax", expr(
+        s"IF(size(toks) <= $chunkSize, 0, (size(toks) - $chunkSize + $stride - 1) DIV $stride)"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr(s"transform(sequence(0, kmax), k -> 1 + k * $stride)"))
+          .as(Seq("chunk_id", "start_tok")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(chunkSize.toLong), size(col("toks")) - col("start_tok") + 1)
+          .cast("long").as("n_tok"),
+        md5(expr(s"CAST(concat_ws(' ', slice(toks, start_tok, $chunkSize)) AS BINARY)"))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  def q139ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkWindows(t(s, dir, "documents"))
+
+  val q139Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       k AS (SELECT doc_id, toks,
+                    CASE WHEN len(toks) <= 64 THEN 0
+                         ELSE (len(toks) - 64 + 47) // 48 END AS kmax
+             FROM d),
+       c AS (SELECT doc_id, g.k AS chunk_id, 1 + g.k * 48 AS start_tok, toks
+             FROM k, UNNEST(generate_series(0, kmax)) AS g(k))
+       SELECT doc_id, chunk_id, start_tok,
+              least(64, len(toks) - start_tok + 1) AS n_tok,
+              md5(array_to_string(toks[start_tok : start_tok + 63], ' ')) AS chunk_md5
+       FROM c ORDER BY doc_id, chunk_id"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_chunk_windows" -> (q139ChunkWindows _),
     "q109_boilerplate_strip" -> (q109BoilerplateStrip _),
     "q73_dup_clusters" -> (q73DupClusters _),
     "q74_stratified_sample" -> (q74StratifiedSample _),
@@ -977,6 +1025,7 @@ object Curation {
     "q120_dup_graph_rank" -> ((s, d) => q120DupGraphRank(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q139_chunk_windows" -> q139Sql,
     "q73_dup_clusters" -> q73Sql,
     "q74_stratified_sample" -> q74Sql,
     "q75_token_shards" -> q75Sql,

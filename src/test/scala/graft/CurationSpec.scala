@@ -174,6 +174,39 @@ class CurationSpec extends SparkSpec {
     assert(seqs.last._3 <= 256L)
   }
 
+  test("q139 chunk windows tile every document: full coverage, exact overlap, tail always reached") {
+    // Coverage algebra on varied lengths, including the size==n boundary,
+    // a sub-size doc, a one-token doc, and a stride-misaligned tail.
+    val docs = Seq(
+      (1L, (1 to 200).map(i => s"t$i").mkString(" ")), // misaligned tail
+      (2L, (1 to 64).map(i => s"u$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 10).map(i => s"v$i").mkString(" ")),  // sub-size
+      (4L, "solo"),
+      (5L, (1 to 112).map(i => s"w$i").mkString(" "))  // 1 + ceil(48/48) = 2 windows
+    ).toDF("doc_id", "text")
+    val out = ops.Curation.chunkWindows(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    val lens = Map(1L -> 200, 2L -> 64, 3L -> 10, 4L -> 1, 5L -> 112)
+    lens.foreach { case (id, n) =>
+      val chunks = byDoc(id).sortBy(_._2)
+      // starts are 1, 49, 97, ... and the last window reaches token n.
+      chunks.foreach { case (_, k, start, _) => assert(start == 1 + k * 48) }
+      val last = chunks.last
+      assert(last._3 + last._4 - 1 == n, s"doc $id tail not covered: $last")
+      // every token covered: windows tile with stride < size.
+      val covered = chunks.flatMap(c => c._3 to (c._3 + c._4 - 1)).toSet
+      assert(covered == (1L to n.toLong).toSet, s"doc $id coverage hole")
+      // no window starts beyond the text, and all but the last are full
+      // ... unless the doc itself is shorter than one window.
+      chunks.init.foreach { case (_, _, start, ntok) =>
+        assert(ntok == 64, s"doc $id interior chunk short: $start")
+      }
+      assert(chunks.head._3 == 1)
+    }
+    assert(byDoc(2L).length == 1 && byDoc(5L).length == 2)
+  }
+
   test("q116 temperature mix: rates clamp at 1e6 and kept counts track rates") {
     val rows = ops.Curation.q116TemperatureMix(spark, sfDir)
       .select("source", "n_docs", "rate_ppm", "n_kept")

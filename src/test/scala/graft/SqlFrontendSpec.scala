@@ -55,7 +55,7 @@ class SqlFrontendSpec extends SparkSpec {
     "q126_pattern_scan", "q127_tag_cooccurrence", "q128_kmv_distinct",
     "q130_kmv_overlap", "q131_triangles", "q135_hist_quantiles",
     "q128b_kmv_distinct_sketch", "q130b_kmv_overlap_sketch",
-    "q137_consensus_dedup", "q138_mad_outliers_hist")
+    "q137_consensus_dedup", "q138_mad_outliers_hist", "q139_chunk_windows")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
