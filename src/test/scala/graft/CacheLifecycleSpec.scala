@@ -30,13 +30,22 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(ops.Pipeline.q94IncrementalDedup(spark, sfDir, h6).count() > 0)
     val h7 = new ops.StorageHandle
     assert(ops.Pipeline.q96PairFeatures(spark, sfDir, h7).count() > 0)
+    // Round-6 pinning operators: the consensus ensemble (pins all three
+    // legs' intermediates) and the sketch-only overlap (pins the sketch
+    // frame both pair sides read).
+    val h8 = new ops.StorageHandle
+    val emb = graft.sources.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    assert(ops.Dedup.consensusNearDups(docs, emb, embBits = 8, handle = h8).count() >= 0)
+    val h9 = new ops.StorageHandle
+    assert(ops.Sketches.kmvOverlapSketch(docs, handle = h9).count() > 0)
 
     // While the handles are open the shared frames ARE cached (that's the
     // reuse the operators rely on)...
     assert(spark.sparkContext.getPersistentRDDs.size > before,
       "expected live caches while handles are open")
     h1.release(); h2.release(); h3.release(); h4.release()
-    h5.release(); h6.release(); h7.release()
+    h5.release(); h6.release(); h7.release(); h8.release(); h9.release()
     // ...and releasing them restores the session exactly.
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       s"leaked caches: ${spark.sparkContext.getPersistentRDDs.size} != $before")

@@ -259,6 +259,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch state runs on RocksDB (at-scale state backend), same estimates") {
+    // The KmvAgg buffer must survive the RocksDB serialize/restore path
+    // bit-for-bit — per-source state is ~k longs on local disk instead of
+    // executor heap, the posture a 100 TB keyed-state deployment needs.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val est = graft.streaming.HeavyHitters.kmvDistinctEstimates(
+      in.toDF().toDF("doc_id", "source", "text"))
+    val q = est.writeStream.format("memory").queryName("kmv_rocks")
+      .outputMode("complete").start()
+    try {
+      def docs(lo: Int, hi: Int) = (lo to hi).map(i =>
+        (i.toLong, "r", (1 to 40).map(j => s"r${(i * 13 + j) % 90}").mkString(" ")))
+      in.addData(docs(1, 30): _*)
+      q.processAllAvailable()
+      in.addData(docs(31, 60): _*)
+      q.processAllAvailable()
+      val live = spark.table("kmv_rocks").select("source", "kk", "hk", "kmv_est")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.ops.Sketches.kmvDistinctSketch(
+        docs(1, 60).toDF("doc_id", "source", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(live == batch, s"live=$live batch=$batch")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming KMV distinct estimates are bit-identical to batch q128b over the same data") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String, String)] // (doc_id, source, text)
