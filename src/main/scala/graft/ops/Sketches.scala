@@ -187,7 +187,7 @@ object Sketches {
     // Pinned: both the exact-count branch and the sketch ranking consume
     // the distinct shingle frame — without the pin the explode+distinct
     // runs twice (measured 2.7 -> 1.6 s at sf0.1).
-    val sh = handle.pin(docs.select(col("source"), explode(expr(
+    val sh = handle.pin(spreadSmall(docs).select(col("source"), explode(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
                    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
       .as("shingle")).distinct())
@@ -260,7 +260,7 @@ object Sketches {
     */
   def kmvOverlap(docs: DataFrame, k: Int = 256,
                  handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
-    val sh = handle.pin(docs.select(col("source"), explode(expr(
+    val sh = handle.pin(spreadSmall(docs).select(col("source"), explode(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
                    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
       .as("shingle")).distinct())
@@ -361,14 +361,21 @@ object Sketches {
     * (The audit variants dodge this by accident — they hash AFTER their
     * corpus-wide distinct exchange, the thing q128b exists to avoid.)
     */
-  private[graft] def kmvHashes(docs: DataFrame): DataFrame = {
+  /** Batch-only small-input backfill (see [[kmvHashes]] scaladoc): the
+    * sub-row-group test files give a single scan split, which would
+    * serialize the per-occurrence shingle/md5 work onto one core; a
+    * corpus-scale input has far more splits than cores and takes the
+    * no-op branch. Streaming frames can't answer getNumPartitions (and
+    * micro-batch parallelism is the source's own), so they pass through.
+    */
+  private def spreadSmall(docs: DataFrame): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // Streaming frames can't answer getNumPartitions (and micro-batch
-    // parallelism is the source's own); the backfill is batch-only.
-    val spread =
-      if (docs.isStreaming || docs.rdd.getNumPartitions >= par) docs
-      else docs.repartition(par)
-    spread.select(col("source"), explode(expr(
+    if (docs.isStreaming || docs.rdd.getNumPartitions >= par) docs
+    else docs.repartition(par)
+  }
+
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame = {
+    spreadSmall(docs).select(col("source"), explode(expr(
       """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
                    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"""))
       .as("shingle"))
