@@ -370,6 +370,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q138 histogram MAD: bin-frame windows + broadcast-back joins, no corpus sort-median") {
+    // The mergeable posture must never plan q134's row_number-over-corpus
+    // sort; its windows are cumulative sums over the sources × bins
+    // frames, and the corpus is touched only by two broadcast-back joins.
+    val p = plan("q138_mad_outliers_hist")
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q137 consensus composes bucketed miners only: no cartesian, no nested loop") {
     // Three miners + the vote = a join-heavy plan; every one of them must
     // stay an equi join (band keys, chunk values, LSH buckets, pair keys).
