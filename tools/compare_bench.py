@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Anchor-normalized comparison of two graft.Bench JSON lines.
+
+Usage: python3 tools/compare_bench.py BENCH_rOLD.json BENCH_rNEW.json [threshold]
+
+Accepts either the driver's wrapper JSON ({"tail": "..."} containing the
+bench line) or a raw file containing the line. Ratios are
+(new_sec / old_sec) / (new_anchor / old_anchor): the machine-speed anchor
+cancels ambient variance, so a ratio > threshold (default 1.5) flags a
+real plan/operator regression rather than a slow boot. Queries present in
+only one run are listed separately.
+"""
+import json, re, sys
+
+
+def load(path):
+    txt = open(path).read()
+    try:
+        wrapper = json.loads(txt)
+        if isinstance(wrapper, dict) and "tail" in wrapper:
+            txt = wrapper["tail"]  # driver wrapper: bench line inside, unescaped by the parse
+    except json.JSONDecodeError:
+        pass
+    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}', txt)
+    if not m:
+        raise SystemExit(f"{path}: no bench line found")
+    return json.loads(m[-1])
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    if "anchor" in old and "anchor" in new:
+        anchor_ratio = new["anchor"] / old["anchor"]
+        anchor_note = f"{old['anchor']:.3f} -> {new['anchor']:.3f}"
+    else:  # pre-round-5 lines have no anchor; compare raw
+        anchor_ratio = 1.0
+        anchor_note = "absent in one run - RAW ratios"
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    rows = []
+    for q in common:
+        raw = new["queries"][q] / old["queries"][q] if old["queries"][q] else float("inf")
+        rows.append((q, old["queries"][q], new["queries"][q], raw / anchor_ratio))
+    rows.sort(key=lambda r: -r[3])
+    print(f"anchor: {anchor_note} "
+          f"(machine ratio {anchor_ratio:.2f}); "
+          f"total: {old['value']:.1f} -> {new['value']:.1f} s "
+          f"({len(common)} common queries)")
+    if "anchors" in new:
+        a = new["anchors"]
+        # Cumulative degradation is a TREND (late anchors slower than
+        # early), not point noise — this box shows ±40% ambient swings on
+        # a 0.1 s measurement.
+        rising = len(a) >= 2 and max(a[-2:]) > 2 * min(a[:2])
+        print(f"new-run mid-suite anchors: {a} "
+              f"({'RISING - cumulative degradation?' if rising else 'flat'})")
+    flagged = [r for r in rows if r[3] > threshold]
+    print(f"\n{len(flagged)} queries exceed {threshold}x anchor-normalized:")
+    for q, o, n, r in flagged:
+        print(f"  {q}: {o:.2f} -> {n:.2f} s ({r:.2f}x normalized)")
+    gone = sorted(set(old["queries"]) - set(new["queries"]))
+    added = sorted(set(new["queries"]) - set(old["queries"]))
+    if gone:
+        print(f"\nremoved: {', '.join(gone)}")
+    if added:
+        nq = new["queries"]
+        print("added: " + ", ".join(f"{q}={nq[q]:.2f}s" for q in added))
+    csum = sum(old["queries"][q] for q in common)
+    nsum = sum(new["queries"][q] for q in common)
+    print(f"\ncommon-set sum: {csum:.1f} -> {nsum:.1f} s "
+          f"(normalized ratio {(nsum / csum) / anchor_ratio:.2f})")
+
+
+if __name__ == "__main__":
+    main()
