@@ -40,6 +40,23 @@ object SparkEntry {
       ops.Graph.queries ++
       ops.Stats.queries
 
+  /** Ground-truth AUDIT BASELINES: registered queries whose formulation is
+    * intentionally corpus-scale (all-pairs / corpus-wide distinct / full
+    * sort) because their job is to bound the error of a paired production
+    * posture, not to run at 100 TB. Tooling (Bench, compare_bench.py,
+    * scale probes) uses this set to separate "production posture" from
+    * "ground-truth audit" mechanically instead of by prose (VERDICT r6
+    * item 3). Pairings: q51→q52, q54→q101/q102, q55→q56/q84,
+    * q128→q128b, q130→q130b, q134→q138.
+    */
+  val auditBaselines: Set[String] = Set(
+    "q51_dedup_jaccard",
+    "q54_embedding_neardup",
+    "q55_ann_bruteforce",
+    "q128_kmv_distinct",
+    "q130_kmv_overlap",
+    "q134_mad_outliers")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

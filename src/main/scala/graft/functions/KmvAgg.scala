@@ -24,6 +24,10 @@ import org.apache.spark.sql.expressions.Aggregator
   * ranks the same distinct hashes and reproduces the estimator exactly.
   */
 class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  // k <= 0 is meaningless for the sketch, and k == 0 would make the
+  // saturation fast path index buf(-1) deep inside the aggregate — fail
+  // at construction with a message instead (ADVICE r6).
+  require(k >= 1, s"KmvAgg needs k >= 1 (got $k)")
 
   override def zero: Array[Long] = Array.emptyLongArray
 

@@ -738,6 +738,141 @@ object Similarity {
        SELECT rank, doc_id, rrf_micro, lex_rank, dense_rank
        FROM ranked WHERE rank <= 10 ORDER BY rank"""
 
+  // ---------------------------------------------------------------------
+  // Persisted ANN index + incremental maintenance (VERDICT r6 item 6):
+  // the nightly-ingest shape every production vector store needs. q94
+  // proved the cross-batch discipline for shingle dedup; this is the same
+  // pattern for embeddings — the corpus's LSH signatures live in a
+  // PERSISTED table, a new batch probes those buckets without re-hashing
+  // (or re-shuffling) the corpus, and the batch's own signatures append
+  // into the index afterwards so tomorrow's batch probes today's corpus.
+  // ---------------------------------------------------------------------
+
+  /** Build the corpus side of the persisted index: one (vec_id, tbl,
+    * bucket) row per vector per hyperplane table, written
+    * `partitionBy(tbl, bucket)` so a probe's bucket lookups become
+    * PARTITION PRUNING at the scan — a nightly batch touching b buckets
+    * reads b directories, not the index. `mode=append` is the maintenance
+    * path: a new batch's signatures drop new files into the matching
+    * bucket directories without rewriting anything (the LSH analogue of a
+    * log-structured index segment; compact with [[Layout]] when small
+    * files accumulate).
+    *
+    * `vecs` must carry (vec_id, emb) with emb already cast to
+    * Array[Double] (the shared [[graft.functions.Hyperplanes]] plane set
+    * hashes doubles). Signature cost is 64 codegen'd dots per vector —
+    * paid ONCE per vector's lifetime, here, never again at probe time.
+    */
+  def annIndexWrite(vecs: DataFrame, path: String,
+                    mode: String = "overwrite"): Unit = {
+    graft.functions.VectorExpressions.register(vecs.sparkSession)
+    vecs
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("int").as("bucket"))
+      .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+  }
+
+  /** Probe a persisted index with a new batch: hash ONLY the batch
+    * (16 sign-bit signatures per probe vector), broadcast those bucket
+    * keys against the index scan (the corpus side streams — no shuffle,
+    * no re-hash; with partition pruning it doesn't even read untouched
+    * buckets), then score candidates against `neighborVecs` and keep the
+    * per-probe top-5 — the same deterministic tail as q56, so the result
+    * is bit-reproducible and DuckDB-checkable.
+    */
+  def annIndexProbe(s: SparkSession, indexPath: String, newVecs: DataFrame,
+                    neighborVecs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val index = s.read.parquet(indexPath)
+    val probeSigs = newVecs
+      .select(col("vec_id"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("int").as("bucket"))
+    val cands = broadcast(probeSigs.as("q"))
+      .join(index.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
+      .distinct()
+    // Scoring: the candidate frame is batch-proportional (|batch| × bucket
+    // occupancy) while neighborVecs is the corpus — broadcast the SMALL
+    // side explicitly, or AQE's local size estimate would happily pick a
+    // corpus-shuffling SMJ (or broadcast the corpus) at real scale.
+    broadcast(cands
+      .join(broadcast(newVecs.withColumnRenamed("emb", "q_emb")),
+        col("query_id") === col("vec_id")).drop("vec_id"))
+      .join(neighborVecs.withColumnRenamed("emb", "n_emb"),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("graft_dot(q_emb, n_emb)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic per-corpus index location (tmpdir-scoped so Verify and
+    * Bench runs over different SF dirs never collide).
+    */
+  def annIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_ann_index_${Integer.toHexString(dir.hashCode)}"
+
+  /** Registered end-to-end posture: split embeddings into an existing
+    * corpus (vec_id % 10 != 0) and a new batch (vec_id % 10 == 0, the
+    * q94 fixture convention), persist the corpus index, and probe it with
+    * the batch. The DuckDB oracle recomputes ALL signatures from scratch
+    * — a hash match therefore proves persisted-index candidates ==
+    * recompute-from-scratch candidates, which is the whole correctness
+    * claim of an incremental index. The index-BUILD cost is inside the
+    * timed query (honest total work); in production it amortizes over
+    * every nightly probe, which pays only the batch hash + bucket reads
+    * (PlanSpec pins that plan shape).
+    */
+  def q140AnnIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = annIndexPath(dir)
+    annIndexWrite(corpus, path)
+    annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0), corpus)
+  }
+
+  /** DuckDB replica of q140 — NO index anywhere: both sides' signatures
+    * recomputed from the shared plane literals, candidates from the same
+    * ≥1-table collision rule restricted to new×corpus, identical scoring
+    * fold and tie-break. Equality with the Spark side is the
+    * index-consistency proof.
+    */
+  def q140Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id % 10 = 0 AND n.vec_id % 10 <> 0
+           AND list_contains([q.sig[i] = n.sig[i] FOR i IN generate_series(1, $nt)], true)),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(a.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM cands c JOIN embeddings a ON c.query_id = a.vec_id
+                      JOIN embeddings b ON c.neighbor_id = b.vec_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM scored)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_hybrid_retrieval" -> (q125HybridRetrieval _),
     "q124_hard_negatives" -> (q124HardNegatives _),
@@ -747,7 +882,8 @@ object Similarity {
     "q84_ann_multiprobe" -> (q84AnnMultiprobe _),
     "q87_ann_quant_rescore" -> (q87AnnQuantRescore _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
-    "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _))
+    "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _),
+    "q140_ann_index_probe" -> (q140AnnIndexProbe _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -758,5 +894,6 @@ object Similarity {
     "q84_ann_multiprobe" -> q84Sql,
     "q87_ann_quant_rescore" -> q87Sql,
     "q107_semantic_dedup" -> q107Sql,
-    "q111_semantic_dedup_scaled" -> q111Sql)
+    "q111_semantic_dedup_scaled" -> q111Sql,
+    "q140_ann_index_probe" -> q140Sql)
 }

@@ -84,10 +84,18 @@ object HeavyHitters {
       .orderBy(col("est").desc, col("tok")).limit(k)
     // Cells first: if the writer dies mid-step, a replay of this batchId
     // recomputes everything from < batchId state anyway.
+    // Both state frames are written in a canonical order (cells by
+    // (row, bucket), candidates by tok) — collect() order is partition-
+    // dependent, and without the sort a replay would be set-identical but
+    // not byte-identical, undercutting the directory-replay guarantee the
+    // scaladoc (and RecoverySpec) promise.
+    val orderedCells = cellRows.toSeq.sortBy(r => (r.getInt(0), r.getInt(1)))
     IdempotentSink.writeBatch(
-      spark.createDataFrame(spark.sparkContext.parallelize(cellRows.toSeq, 1), cellSchema),
+      spark.createDataFrame(spark.sparkContext.parallelize(orderedCells, 1), cellSchema),
       s"$root/cells", batchId)
-    IdempotentSink.writeBatch(newCand.select(col("tok")), s"$root/cand", batchId)
+    IdempotentSink.writeBatch(
+      newCand.select(col("tok")).orderBy(col("tok")).coalesce(1),
+      s"$root/cand", batchId)
     IdempotentSink.writeBatch(report, s"$root/report", batchId)
     // State retention: only the latest PRIOR state is ever read, and
     // Structured Streaming replays at most the latest uncommitted batch —

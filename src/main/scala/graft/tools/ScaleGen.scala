@@ -42,8 +42,19 @@ object ScaleGen {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // max() over an empty table is null; first().getLong would then NPE
+    // with no context. Fail each table with an explicit message instead
+    // (ADVICE r6 — the pattern was replicated three times below).
+    def maxIdOrFail(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    table: String): Long = {
+      val row = df.agg(max(col(idCol))).first()
+      require(!row.isNullAt(0), s"ScaleGen: source table '$table' is empty — " +
+        s"cannot derive a replica shift from max($idCol)")
+      row.getLong(0) + 1
+    }
+
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val maxDoc = docs.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val maxDoc = maxIdOrFail(docs, "doc_id", "documents")
     (0 until factor).map { k =>
       docs.select((col("doc_id") + lit(k * maxDoc)).as("doc_id"),
         (if (k == 0) col("text")
@@ -54,7 +65,7 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val maxVec = emb.agg(max(col("vec_id"))).first().getLong(0) + 1
+    val maxVec = maxIdOrFail(emb, "vec_id", "embeddings")
     (0 until factor).map { k =>
       emb.select((col("vec_id") + lit(k * maxVec)).as("vec_id"),
         (if (k == 0) col("embedding")
@@ -75,8 +86,8 @@ object ScaleGen {
     // shape, and cross-user aggregations (transition matrix) see `factor`×
     // evidence for the SAME answer. ts/type/value/props are untouched.
     val ev = spark.read.parquet(s"$srcDir/events.parquet")
-    val maxEvent = ev.agg(max(col("event_id"))).first().getLong(0) + 1
-    val maxUser = ev.agg(max(col("user_id"))).first().getLong(0) + 1
+    val maxEvent = maxIdOrFail(ev, "event_id", "events")
+    val maxUser = maxIdOrFail(ev, "user_id", "events")
     (0 until factor).map { k =>
       ev.select((col("event_id") + lit(k * maxEvent)).as("event_id"),
         col("ts"), (col("user_id") + lit(k * maxUser)).as("user_id"),

@@ -17,6 +17,36 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty) // testdata plants near-dups; empty would be vacuous
   }
 
+  test("q140 index maintenance: append-then-probe equals recompute-from-scratch") {
+    // The nightly-ingest loop: day 1's batch appends its signatures into
+    // the persisted index; day 2's batch must then see day-1 vectors as
+    // neighbors EXACTLY as if the whole index were rebuilt. Any
+    // divergence (missed bucket dir, schema drift on append, partition
+    // key mismatch) shows up as a result diff here.
+    val emb = graft.sources.Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 250)
+    val batch2 = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") >= 250)
+    val grown = emb.filter(col("vec_id") % 10 =!= 0 || col("vec_id") < 250)
+    val incPath = java.nio.file.Files.createTempDirectory("ann-inc").toString + "/idx"
+    val fullPath = java.nio.file.Files.createTempDirectory("ann-full").toString + "/idx"
+    // Incremental: corpus index, then batch1 appended as new segment files.
+    ops.Similarity.annIndexWrite(corpus, incPath)
+    ops.Similarity.annIndexWrite(batch1, incPath, mode = "append")
+    // Ground truth: one fresh build over corpus + batch1.
+    ops.Similarity.annIndexWrite(grown, fullPath)
+    val inc = ops.Similarity.annIndexProbe(spark, incPath, batch2, grown).collect().toSeq
+    val full = ops.Similarity.annIndexProbe(spark, fullPath, batch2, grown).collect().toSeq
+    assert(inc == full, s"incremental index diverged from rebuild: " +
+      s"${inc.diff(full).take(3)} vs ${full.diff(inc).take(3)}")
+    assert(inc.nonEmpty)
+    // The appended batch actually participates: some probe found a
+    // batch1 vector (vec_id % 10 == 0, < 250) among its neighbors.
+    assert(inc.exists(r => r.getLong(2) % 10 == 0 && r.getLong(2) < 250),
+      "no batch1 neighbor surfaced — append was a no-op")
+  }
+
   test("graft_shingle_hashes equals sorted-distinct SQL xxhash64 3-gram chain") {
     graft.functions.VectorExpressions.register(spark)
     val docs = graft.sources.Tables.t(spark, sfDir, "documents")

@@ -225,6 +225,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(bvals") && !p.contains("hashpartitioning(sig"), p)
   }
 
+  test("q140 persisted ANN index probe: DPP-pruned index scan, corpus never re-hashed or re-shuffled") {
+    val p = plan("q140_ann_index_probe")
+    // The corpus side of the candidate join is the PERSISTED index
+    // parquet, not a recomputed signature frame...
+    assert(p.contains("graft_ann_index_"), "index parquet not in the probe plan:\n" + p)
+    // ...and its scan is dynamically partition-pruned by the broadcast
+    // probe signatures: a nightly batch touching b buckets reads b
+    // directories of the index, not all of it.
+    assert(p.contains("dynamicpruning"), "no DPP on the index scan:\n" + p)
+    // Exactly one signature computation in the executed plan — the
+    // batch's. The corpus's hashes were paid at index-build time; a
+    // second Generate would mean the probe re-hashed the corpus.
+    val gens = "Generate posexplode".r.findAllIn(p).size
+    assert(gens == 1, s"expected 1 signature Generate (the batch), got $gens:\n" + p)
+    // Candidate + scoring joins broadcast the batch-proportional side;
+    // the corpus index and corpus vectors always stream.
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "a corpus-shuffling SMJ crept into the probe:\n" + p)
+  }
+
   test("q47 sessionization reuses one exchange across its window passes") {
     val p = plan("q47_sessionize")
     // Both window functions and the final aggregate partition by user_id;

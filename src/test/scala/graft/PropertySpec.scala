@@ -52,6 +52,30 @@ class PropertySpec extends SparkSpec {
       s"qNN prefix collision: ${prefixes.diff(prefixes.distinct)}")
   }
 
+  test("auditBaselines is a live subset of queries with a registered production posture per family") {
+    // The machine-readable audit marking (VERDICT r6 item 3) is only
+    // useful if it stays wired: every marked name must be a registered
+    // query (a rename would silently orphan the marking), and each
+    // audit's paired production posture must also exist — an audit
+    // without a scale-safe partner is just an unlabeled corpus-scale
+    // query.
+    val dangling = SparkEntry.auditBaselines -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"auditBaselines name no query: $dangling")
+    val partners = Map(
+      "q51_dedup_jaccard" -> Seq("q52"),
+      "q54_embedding_neardup" -> Seq("q101", "q102"),
+      "q55_ann_bruteforce" -> Seq("q56", "q84"),
+      "q128_kmv_distinct" -> Seq("q128b"),
+      "q130_kmv_overlap" -> Seq("q130b"),
+      "q134_mad_outliers" -> Seq("q138"))
+    assert(SparkEntry.auditBaselines == partners.keySet,
+      s"auditBaselines drifted from the documented pairings: ${SparkEntry.auditBaselines}")
+    val livePrefixes = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
+    for ((audit, prods) <- partners; p <- prods)
+      assert(livePrefixes.contains(p),
+        s"$audit's production posture $p is not a registered query")
+  }
+
   test("q118 arithmetic weight lookup equals an explicit 4096-row model-table join") {
     // The classifier's scale claim is that the weight lookup is pure
     // per-row arithmetic instead of a join against an exported model

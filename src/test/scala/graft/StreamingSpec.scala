@@ -133,6 +133,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamHealth surfaces watermark drops and state size; planted late events are counted") {
+    // The watermark path drops late rows silently (VERDICT r6 item 5);
+    // plant events BEHIND an advanced watermark and assert the monitor
+    // frame reports exactly them, alongside non-trivial state gauges.
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-health").toString
+    val logPath = s"$dir/progress.jsonl"
+    val hl = graft.streaming.StreamHealth.listener(logPath)
+    spark.streams.addListener(hl)
+    val in = MemoryStream[(String, Timestamp)]
+    val counts = TweetPipeline.windowedCounts(
+      in.toDF().toDF("value", "ts"),
+      windowLen = "5 minutes", slide = "5 minutes", watermark = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("health_counts")
+      .outputMode("append").start()
+    try {
+      in.addData(tweetAt("2024-01-01 00:01:00", "A"))
+      q.processAllAvailable()
+      // Advance the watermark to 00:09 (max event time 00:10 - 1 min).
+      in.addData(tweetAt("2024-01-01 00:10:00", "B"))
+      q.processAllAvailable()
+      // Two tags arriving behind the watermark: both must be dropped by
+      // the stateful operator AND counted — one tweet row explodes to two
+      // tag rows, so the counter speaks post-explode row units.
+      in.addData(tweetAt("2024-01-01 00:02:00", "late1", "late2"))
+      q.processAllAvailable()
+      assert(graft.streaming.StreamHealth.droppedByWatermark(q) == 2L,
+        s"expected exactly the 2 planted late rows: ${q.recentProgress.toSeq.map(_.json)}")
+      val f = graft.streaming.StreamHealth.frame(spark, q)
+      val cols = f.columns.toSet
+      assert(Set("batch_id", "input_rows", "watermark", "op",
+        "dropped_by_watermark", "state_rows", "state_mem_bytes").subsetOf(cols), cols)
+      val agg = f.filter(col("dropped_by_watermark").isNotNull)
+      assert(agg.agg(sum("dropped_by_watermark")).first().getLong(0) == 2L)
+      // State gauges are live: the open + closed windows hold rows, in
+      // nonzero store memory.
+      assert(agg.agg(max("state_rows")).first().getLong(0) >= 1L)
+      assert(agg.agg(max("state_mem_bytes")).first().getLong(0) > 0L)
+      // And none of the dropped rows made it into any window output.
+      val out = spark.table("health_counts").select(col("key")).as[String].collect()
+      assert(!out.exists(_.startsWith("late")), out.mkString(","))
+      // Push surface: the JSONL log holds one line per progress event,
+      // each a full engine-rendered progress document.
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(logPath))
+      assert(lines.size() >= 3, s"expected >=3 progress lines, got ${lines.size()}")
+      assert(lines.toArray.mkString.contains("numRowsDroppedByWatermark"))
+    } finally {
+      q.stop()
+      spark.streams.removeListener(hl)
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]

@@ -54,10 +54,22 @@ def main():
         rising = len(a) >= 2 and max(a[-2:]) > 2 * min(a[:2])
         print(f"new-run mid-suite anchors: {a} "
               f"({'RISING - cumulative degradation?' if rising else 'flat'})")
+    # Machine-readable audit marking (emitted by Bench since round 7):
+    # ground-truth corpus-scale baselines are labeled so a reader doesn't
+    # mistake their cost profile for a production posture's.
+    audit = set(new.get("audit", []) or old.get("audit", []))
+    # Self-adjudicated re-measurements (Bench re-ran flagged queries
+    # min-of-3 at suite end when given SPARK_GRAFT_PRIOR): the query values
+    # already incorporate them; surface which ones were adjudicated.
+    remeasured = new.get("remeasured", {})
+    if remeasured:
+        print("self-adjudicated (re-measured at suite end): " +
+              ", ".join(f"{q}={v:.2f}s" for q, v in sorted(remeasured.items())))
     flagged = [r for r in rows if r[3] > threshold]
     print(f"\n{len(flagged)} queries exceed {threshold}x anchor-normalized:")
     for q, o, n, r in flagged:
-        print(f"  {q}: {o:.2f} -> {n:.2f} s ({r:.2f}x normalized)")
+        tag = " [audit baseline]" if q in audit else ""
+        print(f"  {q}: {o:.2f} -> {n:.2f} s ({r:.2f}x normalized){tag}")
     gone = sorted(set(old["queries"]) - set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     if gone:
@@ -69,6 +81,13 @@ def main():
     nsum = sum(new["queries"][q] for q in common)
     print(f"\ncommon-set sum: {csum:.1f} -> {nsum:.1f} s "
           f"(normalized ratio {(nsum / csum) / anchor_ratio:.2f})")
+    prod = [q for q in common if q not in audit]
+    if audit and len(prod) < len(common):
+        psum_o = sum(old["queries"][q] for q in prod)
+        psum_n = sum(new["queries"][q] for q in prod)
+        print(f"production-only sum ({len(prod)} queries, audits excluded): "
+              f"{psum_o:.1f} -> {psum_n:.1f} s "
+              f"(normalized ratio {(psum_n / psum_o) / anchor_ratio:.2f})")
 
 
 if __name__ == "__main__":
