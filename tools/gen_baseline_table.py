@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Generate the canonical current-state table for BASELINE.md (VERDICT r6
+item 8): one row per registered query with its current sf0.1 cost, its
+anchor-normalized sf1/sf10 scaling ratios where probed, and its posture
+label (production vs labeled ground-truth audit baseline).
+
+Inputs: a full-suite bench JSON line (sf0.1) and the scale-probe output
+directory holding bench_sf01/bench_sf1/bench_sf10.json from the same boot.
+
+Usage: tools/gen_baseline_table.py FULL_BENCH.json PROBE_DIR
+"""
+import json, re, sys
+
+
+def load_line(path):
+    txt = open(path).read()
+    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}', txt)
+    if not m:
+        try:
+            wrapper = json.loads(txt)
+            m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}',
+                           wrapper.get("tail", ""))
+        except Exception:
+            pass
+    if not m:
+        raise SystemExit(f"no bench line in {path}")
+    return json.loads(m[-1])
+
+
+def main():
+    full = load_line(sys.argv[1])
+    probe_dir = sys.argv[2]
+    p01 = load_line(f"{probe_dir}/bench_sf01.json")
+    p1 = load_line(f"{probe_dir}/bench_sf1.json")
+    p10 = load_line(f"{probe_dir}/bench_sf10.json")
+    audit = set(full.get("audit", []))
+
+    def norm_ratio(base, other):
+        # anchor-normalize: seconds scale with machine speed; divide each
+        # run by its own anchor before ratioing.
+        out = {}
+        for q, s in other["queries"].items():
+            b = base["queries"].get(q)
+            if b and b > 0:
+                out[q] = (s / other["anchor"]) / (b / base["anchor"])
+        return out
+
+    r1 = norm_ratio(p01, p1)
+    r10 = norm_ratio(p01, p10)
+
+    print("| query | sf0.1 s | sf1 ratio (10x) | sf10 ratio (100x) | posture |")
+    print("|---|---|---|---|---|")
+    for q in sorted(full["queries"], key=lambda x: (len(x), x)):
+        sec = full["queries"][q]
+        posture = "audit baseline" if q in audit else "production"
+        c1 = f"{r1[q]:.1f}x" if q in r1 else "—"
+        c10 = f"{r10[q]:.1f}x" if q in r10 else "—"
+        print(f"| {q} | {sec:.2f} | {c1} | {c10} | {posture} |")
+    print()
+    print(f"(full-suite anchor {full['anchor']:.3f}; probe anchors "
+          f"sf0.1 {p01['anchor']:.3f} / sf1 {p1['anchor']:.3f} / "
+          f"sf10 {p10['anchor']:.3f}, same boot)")
+
+
+if __name__ == "__main__":
+    main()
