@@ -15,36 +15,59 @@ object Bench {
     (r.totalMemory - r.freeMemory) / (1024L * 1024L)
   }
 
-  /** Prior-round bench line, if SPARK_GRAFT_PRIOR points at one: the
-    * (anchor, short-key -> sec) pair the self-adjudication pass compares
-    * against. Accepts either a raw bench line or the driver's
-    * {"tail": "..."} wrapper, same as tools/compare_bench.py.
+  /** Prior-round bench line, if available: the (anchor, short-key -> sec)
+    * pair the self-adjudication pass compares against. Accepts a raw
+    * bench line, the driver's {"tail": "..."} wrapper, or — the r07
+    * failure mode — a HEAD-TRUNCATED fragment of either (the driver's
+    * bounded stdout capture keeps the tail): extraction is by regex, not
+    * full JSON parse, so any fragment containing "qNN":sec pairs and an
+    * anchor (or the anchors series) adjudicates. "qNN" keys can appear in
+    * both "remeasured" and "queries"; "queries" is emitted LAST, so the
+    * later (min-adjudicated) value wins the fold. The "audit" array's
+    * bare "qNN" strings never match (no colon-digit suffix).
     */
   private def loadPrior(path: String): Option[(Double, Map[String, Double])] = {
-    import scala.jdk.CollectionConverters._
     try {
       val txt0 = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val txt = {
-        // Driver wrapper: the bench line lives (escaped) inside "tail".
-        val t = try {
-          val w = mapper.readTree(txt0)
-          if (w != null && w.has("tail")) w.get("tail").asText() else txt0
-        } catch { case _: Throwable => txt0 }
-        val m = """\{"metric":"total".*?"sf":"[^"]*"\}""".r.findAllIn(t).toSeq
-        if (m.isEmpty) return None
-        m.last
+      // Driver wrapper: the bench line lives (escaped) inside "tail".
+      val txt = try {
+        val w = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt0)
+        if (w != null && w.has("tail")) w.get("tail").asText() else txt0
+      } catch { case _: Throwable => txt0 }
+      val num = """([0-9]+(?:\.[0-9]+)?)"""
+      val qs = (s""""(q\\d+[a-z]*)":$num""").r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+      val anchor = (s""""anchor":$num""").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        .orElse(""""anchors":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+          .flatMap(_.group(1).split(",").lastOption.filter(_.trim.nonEmpty))
+          .map(_.trim.toDouble))
+      anchor match {
+        case Some(a) if qs.nonEmpty => Some((a, qs.toMap))
+        case _ => None
       }
-      val node = mapper.readTree(txt)
-      val anchor = if (node.has("anchor")) node.get("anchor").asDouble() else return None
-      val qs = node.get("queries")
-      val m = qs.fieldNames().asScala.map(k => k -> qs.get(k).asDouble()).toMap
-      Some((anchor, m))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior bench load failed ($path): ${e.getMessage}")
       None
     }
+  }
+
+  /** SPARK_GRAFT_PRIOR, defaulting to the newest BENCH_r*.json in the
+    * working directory (the repo root for both sbt and run_local.sh
+    * invocations) — the driver's official run never set the env var, so
+    * the self-adjudication pass built for VERDICT r6 item 4 sat idle
+    * while ambient 3-5× readings shipped unadjudicated (VERDICT r7 item
+    * 6). Set SPARK_GRAFT_PRIOR=none to disable.
+    */
+  private def priorPath(): Option[String] = sys.env.get("SPARK_GRAFT_PRIOR") match {
+    case Some("none") | Some("") => None
+    case Some(p) => Some(p)
+    case None =>
+      val re = """BENCH_r(\d+)\.json""".r
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        .flatMap(f => f.getName match {
+          case re(n) => Some((n.toInt, f.getPath)); case _ => None })
+        .sortBy(_._1).lastOption.map(_._2)
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,7 +228,7 @@ object Bench {
     // the 3-run minimum already is; the re-run happens after the suite's
     // memory pressure has been GC'd away, which is exactly the isolated
     // condition the manual adjudications used.
-    val prior = sys.env.get("SPARK_GRAFT_PRIOR").flatMap(loadPrior)
+    val prior = priorPath().flatMap(loadPrior)
     val flagThreshold = sys.env.get("SPARK_GRAFT_FLAG_RATIO").map(_.toDouble).getOrElse(1.5)
     val byName = selected.toMap
     val remeasured = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -228,16 +251,23 @@ object Bench {
       case None => firstPass.toMap
     }
     // The driver's stdout capture is bounded (~2.5 KB observed: round 3's
-    // 85-query line lost its last 7 entries). Two size controls keep the
-    // whole line inside it at 95+ queries: 3-decimal rounding, and keys
-    // shortened to the unambiguous "qNN" prefix (full names live in
-    // SparkEntry.queries / BASELINE.md).
+    // 85-query line lost its last 7 entries — and round 7's 144-query line
+    // lost its HEAD, including "value" and "anchor"). Size controls:
+    // 2-decimal query rounding, "qNN" short keys (full names live in
+    // SparkEntry.queries / BASELINE.md) — and, decisively, FIELD ORDER:
+    // truncation keeps the END of the capture, so the scalar fields the
+    // comparator needs most ("value", "anchor", "sf") are emitted AFTER
+    // the wide "queries" object; a truncated fragment then still carries
+    // every scalar plus a suffix of the per-query map, which the
+    // regex-based loaders (loadPrior, tools/compare_bench.py) accept
+    // (VERDICT r7 item 3).
     val shortKeys = results.keys.map(_.takeWhile(_ != '_')).toSeq
     require(shortKeys.distinct.size == shortKeys.size,
       "qNN prefixes must stay unique — a collision would emit duplicate JSON keys: " +
         shortKeys.diff(shortKeys.distinct).mkString(", "))
+    def r2(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
+      .map { case (k, v) => s"\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val anchorsJson = anchors.map(r3).mkString("[", ",", "]")
@@ -248,9 +278,9 @@ object Bench {
       .map(n => "\"" + n.takeWhile(_ != '_') + "\"").mkString("[", ",", "]")
     val remeasJson =
       if (remeasured.isEmpty) ""
-      else remeasured.map { case (k, v) => s"\"$k\":${r3(v)}" }
+      else remeasured.map { case (k, v) => s"\"$k\":${r2(v)}" }
         .mkString(""","remeasured":{""", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","anchor":${r3(anchor)},"anchors":$anchorsJson,"audit":$auditJson$remeasJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","audit":$auditJson,"anchors":$anchorsJson$remeasJson,"queries":$qs,"value":${r3(total)},"anchor":${r3(anchor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,8 +46,11 @@ object SparkEntry {
     * posture, not to run at 100 TB. Tooling (Bench, compare_bench.py,
     * scale probes) uses this set to separate "production posture" from
     * "ground-truth audit" mechanically instead of by prose (VERDICT r6
-    * item 3). Pairings: q51→q52, q54→q101/q102, q55→q56/q84,
-    * q128→q128b, q130→q130b, q134→q138.
+    * item 3). Pairings: q51→q52, q54→q101/q102/q143, q55→q56/q84,
+    * q128→q128b, q130→q130b, q134→q138. q144 is the MAINTENANCE side of
+    * q140 (the index build the probe amortizes over) — marked here for
+    * the same mechanical reason: its cost is intentionally corpus-scale
+    * and must not be read as a per-probe number (VERDICT r7 item 5).
     */
   val auditBaselines: Set[String] = Set(
     "q51_dedup_jaccard",
@@ -55,7 +58,8 @@ object SparkEntry {
     "q55_ann_bruteforce",
     "q128_kmv_distinct",
     "q130_kmv_overlap",
-    "q134_mad_outliers")
+    "q134_mad_outliers",
+    "q144_ann_index_build")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

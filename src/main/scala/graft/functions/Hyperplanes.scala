@@ -136,8 +136,10 @@ object Hyperplanes {
     * oracle-checked through this).
     */
   def duckBucketsSql(emb: String, bitsPerTable: Int): String = {
-    require(bitsPerTable > 0 && (tables * bits) % bitsPerTable == 0,
-      s"bitsPerTable must divide ${tables * bits}, got $bitsPerTable")
+    // Floor division mirrors LshBucketsExpr: non-dividing geometries use
+    // the first ⌊64/b⌋·b planes (the 11-bit sf10 posture = 5 tables × 11).
+    require(bitsPerTable > 0 && tables * bits / bitsPerTable >= 1,
+      s"bitsPerTable must fit in ${tables * bits} planes, got $bitsPerTable")
     val nTables = tables * bits / bitsPerTable
     val buckets = (0 until nTables).map { tbl =>
       (0 until bitsPerTable).map { b =>

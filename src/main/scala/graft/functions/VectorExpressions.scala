@@ -144,9 +144,12 @@ case class DotProductExpr(left: Expression, right: Expression)
   */
 case class LshBucketsExpr(child: Expression,
                           bitsPerTable: Int = Hyperplanes.bits) extends UnaryExpression {
+  // Non-dividing geometries (the 10-11-bit sf10 posture, VERDICT r7 item
+  // 2) use the FIRST ⌊64/bits⌋·bits planes; the remainder planes are
+  // simply unused. Dividing geometries are unchanged (⌊64/b⌋ = 64/b).
   require(bitsPerTable > 0 && bitsPerTable <= 30 &&
-    (Hyperplanes.tables * Hyperplanes.bits) % bitsPerTable == 0,
-    s"bitsPerTable must divide ${Hyperplanes.tables * Hyperplanes.bits}, got $bitsPerTable")
+    Hyperplanes.tables * Hyperplanes.bits / bitsPerTable >= 1,
+    s"bitsPerTable must fit in ${Hyperplanes.tables * Hyperplanes.bits} planes, got $bitsPerTable")
 
   private def nTables: Int = Hyperplanes.tables * Hyperplanes.bits / bitsPerTable
 

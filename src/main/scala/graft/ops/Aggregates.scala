@@ -119,18 +119,33 @@ object Aggregates {
     * the documented error bound instead of recording rows-only
     * (VERDICT r1 item 8). The estimate itself stays in the plan, so the
     * sketch aggregation is still exercised end-to-end.
+    *
+    * PLAN SHAPE (VERDICT r7 item 1): the HLL and the exact COUNT(DISTINCT)
+    * are computed in SEPARATE aggregations over the same scan and joined on
+    * the 3-row group set. Mixing them in one `agg` triggers Spark's
+    * distinct-aggregate rewrite, which keys the PARTIAL aggregate by
+    * (l_returnflag, l_orderkey) — allocating and shuffling a ~13 KB HLL
+    * buffer (rsd 0.01 ⇒ 2¹⁴ registers) per DISTINCT ORDER KEY instead of
+    * per final group: ~2 GB of sketch buffers at sf0.1, unshippable at
+    * 100×. Split, the HLL partial carries exactly |groups| buffers and the
+    * exact-distinct leg keeps its cheap two-phase plan; the join is a
+    * 3-row broadcast. PlanSpec pins that no aggregate keyed by the distinct
+    * column carries an approx_count_distinct.
     */
-  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def q16ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
         (abs(col("approx_orders") - col("exact_orders")).cast("double") /
           col("exact_orders") <= 0.05).as("within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q16Sql: String =
     """SELECT l_returnflag,

@@ -505,6 +505,26 @@ object Dedup {
 
   val q102Sql: String = neardupOracleSql(8, multiProbe = true)
 
+  /** The sf10 posture (VERDICT r7 item 2): 5 tables × 11 bits from the
+    * same shared planes (the first 55; floor-division grouping). The
+    * b ≈ log₂(n) doctrine steps ~3.3 bits per corpus decade; the sf10
+    * probe's one completed q101 run (130 s) confirmed 8-bit geometry hits
+    * its n²·L/2^b knee at 100× sf0.1, exactly as the q54→q101 playbook at
+    * the previous decade. 5×2¹¹ vs 8×2⁸ cuts per-table candidate volume
+    * ~13× at a per-table collision cost multi-probing buys back when
+    * recall matters (q102's dial composes: `multiProbe = true` here gives
+    * hamming ≤ 1 in 11-bit tables). Oracle-checked end to end like every
+    * registered geometry.
+    */
+  def q143EmbeddingNeardupR11(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      bitsPerTable = 11)
+  }
+
+  val q143Sql: String = neardupOracleSql(11, multiProbe = false)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -789,6 +809,7 @@ object Dedup {
     "q81_dedup_jaccard_prefix" -> (q81DedupJaccardPrefix _),
     "q101_embedding_neardup_r8" -> (q101EmbeddingNeardupR8 _),
     "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _),
+    "q143_embedding_neardup_r11" -> (q143EmbeddingNeardupR11 _),
     "q115_repeated_spans" -> (q115RepeatedSpans _),
     "q137_consensus_dedup" -> (q137ConsensusDedup _))
 
@@ -804,6 +825,7 @@ object Dedup {
     "q81_dedup_jaccard_prefix" -> q51Sql,
     "q101_embedding_neardup_r8" -> q101Sql,
     "q102_embedding_neardup_multiprobe" -> q102Sql,
+    "q143_embedding_neardup_r11" -> q143Sql,
     "q115_repeated_spans" -> q115Sql,
     "q137_consensus_dedup" -> q137Sql)
 }

@@ -315,10 +315,17 @@ object Multimodal {
   // the metadata columns — everything it reports is parsed from the bytes.
   // -------------------------------------------------------------------------
 
-  /** Decoded PPM: everything parsed from bytes, nothing from metadata. */
+  /** Decoded PPM: everything parsed from bytes, nothing from metadata.
+    * `data_off` is the parsed raster start — consumers that re-read the
+    * raster (q142's resize) MUST use it rather than deriving the offset
+    * from the payload length, which breaks exactly for the
+    * trailing-bytes-after-raster files decode deliberately tolerates
+    * (ADVICE r7).
+    */
   final case class PpmDecoded(status: String, width: Int, height: Int,
                               maxval: Int, n_pixel_bytes: Long,
-                              sum_r: Long, sum_g: Long, sum_b: Long)
+                              sum_r: Long, sum_g: Long, sum_b: Long,
+                              data_off: Int = 0)
 
   object PpmCodec {
     /** Encode a valid binary PPM (P6). `avail` < w*h*3 models a truncated
@@ -393,15 +400,15 @@ object Multimodal {
         i += 1
       }
       PpmDecoded(if (present < expected) "truncated" else "ok",
-        w, h, maxval, present, sr, sg, sb)
+        w, h, maxval, present, sr, sg, sb, data_off = pos)
     }
   }
 
   /** documents → real PPM files: dims from doc_id (w∈[4,16], h∈[3,13] —
     * small enough that sf10's 500k files stay light), raster byte i =
-    * ASCII text byte (i mod len), and every doc_id % 17 == 0 file is
-    * truncated to half its raster (integer floor) — the corrupt-download
-    * case a production decode stage must survive.
+    * (codepoint & 0x7f) of text char (i mod len), and every doc_id % 17
+    * == 0 file is truncated to half its raster (integer floor) — the
+    * corrupt-download case a production decode stage must survive.
     */
   final case class PpmRecord(doc_id: Long, source: String, ppm: Array[Byte])
 
@@ -410,7 +417,15 @@ object Multimodal {
     t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) =>
-        val bytes = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        // Byte mapping the oracle reproduces exactly (ADVICE r7):
+        // char j → codepoint & 0x7f (DuckDB: ascii(char) % 128 — identical
+        // for every BMP codepoint; US_ASCII getBytes mapped non-ASCII to
+        // '?' while the oracle's ascii() returned the codepoint, a silent
+        // divergence on non-ASCII corpora). Empty text — i % 0 would throw
+        // — substitutes a single space, mirrored by the oracle's len=0 arm.
+        val bytes =
+          if (text.isEmpty) Array(' '.toByte)
+          else Array.tabulate(text.length)(j => (text.charAt(j) & 0x7f).toByte)
         val w = (id % 13 + 4).toInt
         val h = (id % 11 + 3).toInt
         val npx = w * h * 3
@@ -447,7 +462,9 @@ object Multimodal {
                          ELSE w * h * 3 END AS avail
              FROM m),
        px AS (SELECT doc_id, i % 3 AS c,
-                     ascii(substring(text, CAST((i % len) + 1 AS INT), 1)) AS b
+                     CASE WHEN len = 0 THEN 32
+                          ELSE ascii(substring(text, CAST((i % len) + 1 AS INT), 1)) % 128
+                     END AS b
               FROM d, UNNEST(generate_series(0, CAST(avail - 1 AS BIGINT))) AS t(i))
        SELECT doc_id,
               CASE WHEN avail < w * h * 3 THEN 'truncated' ELSE 'ok' END AS status,
@@ -475,9 +492,10 @@ object Multimodal {
       if (d.status != "ok") None
       else {
         val (outW, outH) = (8, 6)
-        // Raster starts after the header: recompute the offset the same
-        // way decode did (single parse pass would return it; kept simple).
-        val dataOff = r.ppm.length - d.n_pixel_bytes.toInt
+        // The PARSED raster offset — length-derived arithmetic would read
+        // shifted pixels on a file with trailing bytes after the raster,
+        // which decode tolerates by design (ADVICE r7).
+        val dataOff = d.data_off
         val out = new Array[Byte](outW * outH * 3)
         var (sr, sg, sb) = (0L, 0L, 0L)
         var y = 0
@@ -521,8 +539,10 @@ object Multimodal {
                      (((i // 8) * h) // 6) * w + ((i % 8) * w) // 8 AS spx
               FROM m, UNNEST(generate_series(0, 47)) AS t(i)),
        ch AS (SELECT doc_id, c,
-                     ascii(substring(text,
-                       CAST((spx * 3 + c) % len + 1 AS INT), 1)) AS b
+                     CASE WHEN len = 0 THEN 32
+                          ELSE ascii(substring(text,
+                            CAST((spx * 3 + c) % len + 1 AS INT), 1)) % 128
+                     END AS b
               FROM px, UNNEST(generate_series(0, 2)) AS t2(c))
        SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
               CAST(SUM(b) FILTER (c = 0) AS BIGINT) AS r_sum,

@@ -771,7 +771,51 @@ object Similarity {
         expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
+      // Compaction at write time (VERDICT r7 item 5): co-locate each
+      // (tbl, bucket) partition's rows in one task before the
+      // partitionBy write, so every bucket directory receives exactly one
+      // file per write instead of one per upstream task — the 256-way ×
+      // 32-task small-file spray the previous layout produced.
+      .repartition(col("tbl"), col("bucket"))
       .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+    Similarity.synchronized { builtIndexPaths += path }
+  }
+
+  /** Index dirs created this JVM, removed by a shutdown hook — Bench and
+    * Verify runs no longer accumulate stale `graft_ann_index_*` trees in
+    * java.io.tmpdir (VERDICT r7 item 5).
+    */
+  private val builtIndexPaths = scala.collection.mutable.Set[String]()
+  sys.addShutdownHook {
+    builtIndexPaths.foreach { p =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
+  }
+
+  /** Build the q140 fixture index for `dir`'s corpus split if no complete
+    * one exists (a `_SUCCESS` marker gates reuse — a killed run's partial
+    * write is rebuilt, a prior complete write over the same immutable SF
+    * dir is reused as-is). Returns the index path. This is what makes the
+    * registered q140 a PROBE measurement: the nightly build cost lives in
+    * the separately-registered q144 maintenance entry, not inside every
+    * timed probe (VERDICT r7 item 5).
+    */
+  private def ensureQ140Index(s: SparkSession, dir: String): String = {
+    val path = annIndexPath(dir)
+    val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    if (!done) {
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .filter(col("vec_id") % 10 =!= 0)
+      annIndexWrite(corpus, path)
+    } else Similarity.synchronized { builtIndexPaths += path }
+    path
   }
 
   /** Probe a persisted index with a new batch: hash ONLY the batch
@@ -825,23 +869,63 @@ object Similarity {
 
   /** Registered end-to-end posture: split embeddings into an existing
     * corpus (vec_id % 10 != 0) and a new batch (vec_id % 10 == 0, the
-    * q94 fixture convention), persist the corpus index, and probe it with
+    * q94 fixture convention), and probe the PERSISTED corpus index with
     * the batch. The DuckDB oracle recomputes ALL signatures from scratch
     * — a hash match therefore proves persisted-index candidates ==
     * recompute-from-scratch candidates, which is the whole correctness
-    * claim of an incremental index. The index-BUILD cost is inside the
-    * timed query (honest total work); in production it amortizes over
-    * every nightly probe, which pays only the batch hash + bucket reads
-    * (PlanSpec pins that plan shape).
+    * claim of an incremental index.
+    *
+    * The index is built lazily ONCE per SF dir ([[ensureQ140Index]]) and
+    * the timed query measures the PROBE — batch hash + DPP bucket reads +
+    * broadcast scoring — which is the nightly cost the design exists to
+    * minimize. Round 7 timed 3 full index rebuilds inside every bench
+    * measurement, misrepresenting that cost ~10×; the build is now its
+    * own registered maintenance entry (q144) so both sides of the
+    * amortization stay measured (VERDICT r7 item 5).
     */
   def q140AnnIndexProbe(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = ensureQ140Index(s, dir)
+    annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0), corpus)
+  }
+
+  /** The MAINTENANCE side of q140, registered separately so the nightly
+    * build/append cost is measured on its own instead of inside every
+    * probe: rebuild the corpus index from scratch (the worst-case
+    * maintenance op — a real nightly pays only an append of the new
+    * batch, proven equivalent by DedupSpec's append-vs-rebuild test) and
+    * return per-table occupancy stats. The stats double as the oracle
+    * surface: DuckDB recomputes the same signatures and must agree on
+    * every table's bucket count and row count — a full structural check
+    * of the persisted index content without shipping parquet bytes to
+    * the oracle. Marked in `SparkEntry.auditBaselines` so scale tooling
+    * knows this entry is intentionally corpus-scale work.
+    */
+  def q144AnnIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val corpus = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .filter(col("vec_id") % 10 =!= 0)
     val path = annIndexPath(dir)
     annIndexWrite(corpus, path)
-    annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0), corpus)
+    s.read.parquet(path)
+      .groupBy(col("tbl"))
+      .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_rows"))
+      .orderBy(col("tbl"))
+  }
+
+  def q144Sql: String = {
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
+    val nt = graft.functions.Hyperplanes.tables
+    s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings WHERE vec_id % 10 <> 0)
+       SELECT CAST(t.i - 1 AS INT) AS tbl,
+              COUNT(DISTINCT sig[t.i]) AS n_buckets,
+              COUNT(*) AS n_rows
+       FROM sig, generate_series(1, $nt) AS t(i)
+       GROUP BY 1 ORDER BY 1"""
   }
 
   /** DuckDB replica of q140 — NO index anywhere: both sides' signatures
@@ -883,7 +967,8 @@ object Similarity {
     "q87_ann_quant_rescore" -> (q87AnnQuantRescore _),
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _),
-    "q140_ann_index_probe" -> (q140AnnIndexProbe _))
+    "q140_ann_index_probe" -> (q140AnnIndexProbe _),
+    "q144_ann_index_build" -> (q144AnnIndexBuild _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -895,5 +980,6 @@ object Similarity {
     "q87_ann_quant_rescore" -> q87Sql,
     "q107_semantic_dedup" -> q107Sql,
     "q111_semantic_dedup_scaled" -> q111Sql,
-    "q140_ann_index_probe" -> q140Sql)
+    "q140_ann_index_probe" -> q140Sql,
+    "q144_ann_index_build" -> q144Sql)
 }

@@ -202,6 +202,30 @@ class DedupSpec extends SparkSpec {
     assert(r8.subsetOf(r8mp), s"multi-probe lost verified pairs: ${r8 -- r8mp}")
   }
 
+  test("r=11 floor-division geometry (q143): candidates within r=4's, non-vacuous at sf0.1") {
+    graft.functions.VectorExpressions.register(spark)
+    // sf0.1, not the spec default sf0.001: the 11-bit posture exists for
+    // big corpora and is vacuously empty on 50 vectors. At 2000 vectors it
+    // must produce pairs (the registered q143 returns 5 at this SF).
+    val e = graft.sources.Tables.t(spark, "/root/testdata/sf0.1", "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val c11 = ops.Dedup.embeddingCandidates(e, 11, multiProbe = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val c4 = ops.Dedup.embeddingCandidates(e, 4, multiProbe = false)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // Any 11 consecutive planes contain at least one ALIGNED 4-plane
+    // block (11 >= 4 + 3 + 4), so an 11-bit table collision implies some
+    // r=4 table collision: the floor-division geometry still only
+    // SHRINKS the candidate set vs the default — no novel candidates.
+    assert(c11.nonEmpty, "r=11 produced zero candidates at sf0.1 — vacuous posture")
+    assert(c11.subsetOf(c4), s"r=11 candidates outside r=4: ${c11 -- c4}")
+    // And the registered query itself is non-empty at the bench SF.
+    val verified = ops.Dedup.q143EmbeddingNeardupR11(spark, "/root/testdata/sf0.1")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(verified.nonEmpty)
+  }
+
   test("embedding near-dup (LSH-bucketed q54): subset of exact, recall pinned") {
     val exact = exactNeardupAllPairs
       .select("id1", "id2").as[(Long, Long)].collect().toSet

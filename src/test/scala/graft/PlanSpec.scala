@@ -225,6 +225,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(bvals") && !p.contains("hashpartitioning(sig"), p)
   }
 
+  test("q16 HLL partial aggregate is keyed by the group set, never the distinct column") {
+    val p = plan("q16_approx_distinct")
+    // The r7 plan defect: mixing approx_count_distinct with an exact
+    // COUNT(DISTINCT) in one agg put the HLL into the distinct-rewrite's
+    // partial aggregate keyed by (l_returnflag, l_orderkey) — a ~13 KB
+    // sketch buffer allocated and shuffled PER DISTINCT ORDER KEY. Split
+    // into two joined aggregations, every aggregate node that computes
+    // the HLL must key on l_returnflag alone (l_orderkey appears only as
+    // the aggregated ARGUMENT, never as a grouping key).
+    val badKeys = """(?m)HashAggregate\(keys=\[([^\]]*)\][^\n]*approx_count_distinct""".r
+      .findAllMatchIn(p).map(_.group(1)).filter(_.contains("l_orderkey")).toSeq
+    assert(badKeys.isEmpty,
+      s"HLL partial aggregate keyed by the distinct column: $badKeys\n$p")
+    assert(p.contains("approx_count_distinct"), "HLL aggregate missing from the plan:\n" + p)
+  }
+
   test("q140 persisted ANN index probe: DPP-pruned index scan, corpus never re-hashed or re-shuffled") {
     val p = plan("q140_ann_index_probe")
     // The corpus side of the candidate join is the PERSISTED index

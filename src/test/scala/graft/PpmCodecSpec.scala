@@ -53,6 +53,12 @@ class PpmCodecSpec extends SparkSpec {
     val good = mk(w, h, _ => 5, w * h * 3)
     val padded = good ++ Array.fill(40)(99.toByte)
     assert(PpmCodec.decode(padded) == PpmCodec.decode(good))
+    // data_off is the PARSED raster start on both: on the padded file a
+    // length-derived offset (len - n_pixel_bytes) would point 40 bytes
+    // into garbage — the exact bug ADVICE r7 flagged in q142's resize.
+    val d = PpmCodec.decode(padded)
+    assert(d.data_off == good.length - w * h * 3)
+    assert(d.data_off != padded.length - d.n_pixel_bytes.toInt)
   }
 
   test("ppmTable emits valid PPMs; every doc_id % 17 == 0 file is truncated") {
@@ -74,7 +80,10 @@ class PpmCodecSpec extends SparkSpec {
     assert(out.length == texts.size)
     out.foreach { row =>
       val id = row.getLong(0)
-      val bytes = texts(id).getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val text = texts(id)
+      val bytes =
+        if (text.isEmpty) Array(' '.toByte)
+        else Array.tabulate(text.length)(j => (text.charAt(j) & 0x7f).toByte)
       val w = (id % 13 + 4).toInt; val h = (id % 11 + 3).toInt
       val npx = w * h * 3
       val avail = if (id % 17 == 0) npx / 2 else npx
@@ -98,7 +107,7 @@ class PpmCodecSpec extends SparkSpec {
     assert(intact.nonEmpty && q142.size == intact.length)
     intact.take(25).foreach { r =>
       val d = PpmCodec.decode(r.ppm)
-      val dataOff = r.ppm.length - d.n_pixel_bytes.toInt
+      val dataOff = d.data_off
       val out = new Array[Byte](8 * 6 * 3)
       for (y <- 0 until 6; x <- 0 until 8; c <- 0 until 3) {
         val spx = (y * d.height / 6) * d.width + (x * d.width / 8)

@@ -63,11 +63,15 @@ class PropertySpec extends SparkSpec {
     assert(dangling.isEmpty, s"auditBaselines name no query: $dangling")
     val partners = Map(
       "q51_dedup_jaccard" -> Seq("q52"),
-      "q54_embedding_neardup" -> Seq("q101", "q102"),
+      "q54_embedding_neardup" -> Seq("q101", "q102", "q143"),
       "q55_ann_bruteforce" -> Seq("q56", "q84"),
       "q128_kmv_distinct" -> Seq("q128b"),
       "q130_kmv_overlap" -> Seq("q130b"),
-      "q134_mad_outliers" -> Seq("q138"))
+      "q134_mad_outliers" -> Seq("q138"),
+      // q144 is the MAINTENANCE entry (index build) whose amortizing
+      // partner is the q140 probe — marked so scale tooling reads its
+      // cost as nightly maintenance, not per-probe (VERDICT r7 item 5).
+      "q144_ann_index_build" -> Seq("q140"))
     assert(SparkEntry.auditBaselines == partners.keySet,
       s"auditBaselines drifted from the documented pairings: ${SparkEntry.auditBaselines}")
     val livePrefixes = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))

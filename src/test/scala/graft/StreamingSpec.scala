@@ -130,6 +130,18 @@ class StreamingSpec extends SparkSpec {
       val doc = java.nio.file.Files.readString(java.nio.file.Paths.get(resultPath))
       assert(doc.contains(""""items":[{"hashtag":"A","count":2},{"hashtag":"B","count":1}]"""), doc)
       assert(!doc.contains("zzz"), s"open-window state leaked into the publish: $doc")
+      // run() ships with StreamHealth on by default (VERDICT r7 item 8):
+      // the per-batch progress JSONL must appear next to the result doc.
+      // Listener delivery is async on the listener bus — poll briefly.
+      val health = java.nio.file.Paths.get(resultPath + ".health.jsonl")
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!(java.nio.file.Files.exists(health) &&
+               java.nio.file.Files.size(health) > 0) &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      assert(java.nio.file.Files.exists(health) && java.nio.file.Files.size(health) > 0,
+        "default StreamHealth JSONL missing for run()")
+      val line = java.nio.file.Files.readAllLines(health).get(0)
+      assert(line.contains("\"batchId\""), line)
     } finally q.stop()
   }
 

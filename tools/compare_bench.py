@@ -22,9 +22,38 @@ def load(path):
     except json.JSONDecodeError:
         pass
     m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}', txt)
-    if not m:
+    if m:
+        return json.loads(m[-1])
+    # HEAD-TRUNCATED fragment (the r07 failure: the driver's bounded
+    # stdout capture keeps the END of the line): reconstruct by regex.
+    # Bench emits "queries" LAST among qNN-keyed objects ("remeasured"
+    # precedes it), so a dict built in match order keeps the adjudicated
+    # value; the "audit" array's bare "qNN" strings never match (they
+    # lack the :number suffix).
+    num = r'([0-9]+(?:\.[0-9]+)?)'
+    queries = {q: float(v) for q, v in re.findall(r'"(q\d+[a-z]*)":' + num, txt)}
+    if not queries:
         raise SystemExit(f"{path}: no bench line found")
-    return json.loads(m[-1])
+    out = {"queries": queries, "_fragment": True}
+    for key in ("value", "anchor"):
+        sm = re.search(f'"{key}":' + num, txt)
+        if sm:
+            out[key] = float(sm.group(1))
+    am = re.search(r'"anchors":\[([^\]]*)\]', txt)
+    if am and am.group(1).strip():
+        out["anchors"] = [float(x) for x in am.group(1).split(",")]
+        out.setdefault("anchor", out["anchors"][-1])
+    out.setdefault("value", sum(queries.values()))
+    rm = re.search(r'"remeasured":\{([^}]*)\}', txt)
+    if rm:
+        out["remeasured"] = {q: float(v) for q, v in
+                             re.findall(r'"(q\d+[a-z]*)":' + num, rm.group(1))}
+    sfm = re.search(r'"sf":"([^"]*)"', txt)
+    if sfm:
+        out["sf"] = sfm.group(1)
+    print(f"note: {path} parsed as a truncated fragment "
+          f"({len(queries)} queries recovered)", file=sys.stderr)
+    return out
 
 
 def main():

@@ -9,22 +9,14 @@ directory holding bench_sf01/bench_sf1/bench_sf10.json from the same boot.
 
 Usage: tools/gen_baseline_table.py FULL_BENCH.json PROBE_DIR
 """
-import json, re, sys
+import os, sys
 
-
-def load_line(path):
-    txt = open(path).read()
-    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}', txt)
-    if not m:
-        try:
-            wrapper = json.loads(txt)
-            m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}',
-                           wrapper.get("tail", ""))
-        except Exception:
-            pass
-    if not m:
-        raise SystemExit(f"no bench line in {path}")
-    return json.loads(m[-1])
+# Shared loader (ADVICE r7): compare_bench.load accepts a raw line, the
+# driver's {"tail": ...} wrapper, AND a head-truncated fragment of either
+# (reconstructed by regex) — the r07 wrapper's 2000-char tail starts
+# mid-line, which the old fixed-pattern fallback could not recover.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from compare_bench import load as load_line
 
 
 def main():

@@ -5,22 +5,34 @@
 # probe-harness shape (local[8], min-of-three, anchors) once per SF and
 # leaves one JSON line per SF in $OUT_DIR. Usage:
 #   tools/scale_probe.sh [sf1_dir] [sf10_dir] [out_dir]
-set -e
+set -e -o pipefail
 cd "$(dirname "$0")/.."
 SF1="${1:-/tmp/sf1}"
 SF10="${2:-/tmp/sf10}"
 OUT="${3:-/tmp/scale_probe}"
 mkdir -p "$OUT"
 # The at-scale production postures (VERDICT r6 item 1) + the three
-# event-analytics queries the sf1 round already tracked.
-QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136"
+# event-analytics queries the sf1 round already tracked + the round-7/8
+# additions (q140 probe, q141/q142 codec, q143 11-bit posture, q144
+# index build — VERDICT r7 items 2 and 7). SPARK_GRAFT_PRIOR=none: the
+# probe subset must not trigger self-adjudication against a full-suite
+# prior line.
+QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144"
 for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
   echo "=== probing $sf ==="
   SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=8 SPARK_GRAFT_ONLY="$QUERIES" \
+    SPARK_GRAFT_PRIOR=none \
     SPARK_GRAFT_TELEMETRY="$OUT/telemetry_$tag.jsonl" SPARK_DRIVER_MEM=24g \
     tools/run_local.sh graft.Bench 2> "$OUT/stderr_$tag.log" \
     | tail -1 > "$OUT/bench_$tag.json"
+  # A killed or failed bench leaves an empty/partial line; fail HERE with
+  # the real context instead of letting gen_baseline_table.py reject it
+  # later with a confusing error (ADVICE r7).
+  if ! grep -q '"sf":' "$OUT/bench_$tag.json"; then
+    echo "probe $tag produced no complete bench line (see $OUT/stderr_$tag.log)" >&2
+    exit 1
+  fi
   cat "$OUT/bench_$tag.json"
 done
 echo "probe lines in $OUT"
