@@ -206,10 +206,16 @@ object Bench {
         // comparator's rising-trend heuristic false positives (ADVICE r6).
         if (qi > 0 && qi % anchorEvery == 0) anchors += measureAnchor(3)
         val (gcN0, gcMs0) = gcTotals()
-        val times = (1 to 3).map(_ => timedRun(fn, name))
-        // Untimed: give the ContextCleaner the GC it needs to find dead
-        // broadcast/shuffle references before the next query piles more on.
-        System.gc()
+        // Untimed gc BETWEEN runs, not just between queries: with a 24 g
+        // heap nothing collects during a query's 3 back-to-back runs, so
+        // dead broadcast/shuffle references never reach the
+        // ContextCleaner's queue and runs 2-3 execute against a block
+        // manager full of the earlier runs' corpses — observed this round
+        // as monotonic within-query inflation (q115 3.8→9.5→15.0 s,
+        // q140 11.5→14.7→25.2 s) under flat mid-suite anchors.
+        val times = (1 to 3).map { _ =>
+          val dt = timedRun(fn, name); System.gc(); dt
+        }
         val (gcN1, gcMs1) = gcTotals()
         telemetryAppend(
           s"""{"q":"$name","sec":${r3(times.min)},"runs":[${times.map(r3).mkString(",")}],""" +

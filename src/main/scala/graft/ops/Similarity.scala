@@ -748,7 +748,7 @@ object Similarity {
   // into the index afterwards so tomorrow's batch probes today's corpus.
   // ---------------------------------------------------------------------
 
-  /** Build the corpus side of the persisted index: one (vec_id, tbl,
+  /** Build the corpus side of the persisted index: one (vec_id, emb, tbl,
     * bucket) row per vector per hyperplane table, written
     * `partitionBy(tbl, bucket)` so a probe's bucket lookups become
     * PARTITION PRUNING at the scan — a nightly batch touching b buckets
@@ -757,6 +757,17 @@ object Similarity {
     * bucket directories without rewriting anything (the LSH analogue of a
     * log-structured index segment; compact with [[Layout]] when small
     * files accumulate).
+    *
+    * The VECTOR lives in the bucket row — the classic space-for-time LSH
+    * index layout: a probe's pruned scan delivers candidate ids AND their
+    * embeddings in one read, so scoring needs no second corpus join. The
+    * price is L× vector duplication in the index (here 16×); the sf1
+    * probe showed the alternative — keeping the index id-only and joining
+    * candidates back to the corpus table for vectors — is the part that
+    * does NOT scale: the candidate×vector attach is either a corpus
+    * shuffle or a candidate-frame broadcast that grows past driver limits
+    * (1.8 GiB at a mere 10× corpus). At extreme scale, trade back with a
+    * bucket-co-partitioned side table instead of inlining.
     *
     * `vecs` must carry (vec_id, emb) with emb already cast to
     * Array[Double] (the shared [[graft.functions.Hyperplanes]] plane set
@@ -767,9 +778,9 @@ object Similarity {
                     mode: String = "overwrite"): Unit = {
     graft.functions.VectorExpressions.register(vecs.sparkSession)
     vecs
-      .select(col("vec_id"), posexplode(
+      .select(col("vec_id"), col("emb"), posexplode(
         expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
-      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+      .select(col("vec_id"), col("emb"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
       // Compaction at write time (VERDICT r7 item 5): co-locate each
       // (tbl, bucket) partition's rows in one task before the
@@ -808,7 +819,13 @@ object Similarity {
     */
   private def ensureQ140Index(s: SparkSession, dir: String): String = {
     val path = annIndexPath(dir)
-    val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+    // _SUCCESS alone isn't enough: a complete index written by an OLDER
+    // schema (id-only rows, before vectors moved into the bucket files)
+    // must be rebuilt, not probed — tmpdir survives a killed JVM whose
+    // cleanup hook never ran.
+    val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
+      (try s.read.parquet(path).schema.fieldNames.contains("emb")
+       catch { case _: Throwable => false })
     if (!done) {
       val corpus = t(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
@@ -822,12 +839,24 @@ object Similarity {
     * (16 sign-bit signatures per probe vector), broadcast those bucket
     * keys against the index scan (the corpus side streams — no shuffle,
     * no re-hash; with partition pruning it doesn't even read untouched
-    * buckets), then score candidates against `neighborVecs` and keep the
-    * per-probe top-5 — the same deterministic tail as q56, so the result
-    * is bit-reproducible and DuckDB-checkable.
+    * buckets), score in place, and keep the per-probe top-5 — the same
+    * deterministic tail as q56, so the result is bit-reproducible and
+    * DuckDB-checkable.
+    *
+    * Scoring reads the neighbor vector FROM the index row itself (see
+    * [[annIndexWrite]]) and the query vector from a broadcast of the
+    * batch — small by definition; it's the nightly increment. So the
+    * whole probe is: pruned index scan → two broadcast hash joins → dot →
+    * pair dedup on the 24-byte scored tuple → per-query top-5. No corpus
+    * join, no candidate-frame broadcast, no driver-side collect anywhere
+    * — the first sf1 run of the id-only layout died at exactly that spot
+    * (a 1.8 GiB candidate broadcast exceeding maxResultSize). The dot is
+    * computed before the dedup shuffle on purpose: a pair surfacing in
+    * k ≤ 16 tables costs k redundant 128-mult dots but ships 24-byte
+    * rows, where deduping first would ship the 1 KB vector per candidate.
     */
-  def annIndexProbe(s: SparkSession, indexPath: String, newVecs: DataFrame,
-                    neighborVecs: DataFrame): DataFrame = {
+  def annIndexProbe(s: SparkSession, indexPath: String,
+                    newVecs: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val index = s.read.parquet(indexPath)
     val probeSigs = newVecs
@@ -835,23 +864,17 @@ object Similarity {
         expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
-    val cands = broadcast(probeSigs.as("q"))
+    broadcast(probeSigs.as("q"))
       .join(index.as("n"),
         col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
           col("q.vec_id") =!= col("n.vec_id"))
-      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"))
-      .distinct()
-    // Scoring: the candidate frame is batch-proportional (|batch| × bucket
-    // occupancy) while neighborVecs is the corpus — broadcast the SMALL
-    // side explicitly, or AQE's local size estimate would happily pick a
-    // corpus-shuffling SMJ (or broadcast the corpus) at real scale.
-    broadcast(cands
-      .join(broadcast(newVecs.withColumnRenamed("emb", "q_emb")),
-        col("query_id") === col("vec_id")).drop("vec_id"))
-      .join(neighborVecs.withColumnRenamed("emb", "n_emb"),
-        col("neighbor_id") === col("vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        col("n.emb").as("n_emb"))
+      .join(broadcast(newVecs.select(col("vec_id"), col("emb").as("q_emb"))),
+        col("query_id") === col("vec_id"))
       .select(col("query_id"), col("neighbor_id"),
         expr("graft_dot(q_emb, n_emb)").as("cosine"))
+      .distinct()
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("neighbor_id").asc)))
@@ -887,9 +910,8 @@ object Similarity {
     graft.functions.VectorExpressions.register(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
     val path = ensureQ140Index(s, dir)
-    annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0), corpus)
+    annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0))
   }
 
   /** The MAINTENANCE side of q140, registered separately so the nightly

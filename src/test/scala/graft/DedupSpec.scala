@@ -36,8 +36,8 @@ class DedupSpec extends SparkSpec {
     ops.Similarity.annIndexWrite(batch1, incPath, mode = "append")
     // Ground truth: one fresh build over corpus + batch1.
     ops.Similarity.annIndexWrite(grown, fullPath)
-    val inc = ops.Similarity.annIndexProbe(spark, incPath, batch2, grown).collect().toSeq
-    val full = ops.Similarity.annIndexProbe(spark, fullPath, batch2, grown).collect().toSeq
+    val inc = ops.Similarity.annIndexProbe(spark, incPath, batch2).collect().toSeq
+    val full = ops.Similarity.annIndexProbe(spark, fullPath, batch2).collect().toSeq
     assert(inc == full, s"incremental index diverged from rebuild: " +
       s"${inc.diff(full).take(3)} vs ${full.diff(inc).take(3)}")
     assert(inc.nonEmpty)

@@ -18,10 +18,15 @@ mkdir -p "$OUT"
 # probe subset must not trigger self-adjudication against a full-suite
 # prior line.
 QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144"
+# q102 is the labeled recall-audit posture (candidates ~ n^2*L/2^b): 24.7 s
+# at sf1, projected hours at sf10 — its scale story is told by the sf0.1/sf1
+# pair; the sf10 leg carries the production postures only.
+SF10_QUERIES="${QUERIES/q102,/}"
 for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
+  qs="$QUERIES"; [ "$sf" = "$SF10" ] && qs="$SF10_QUERIES"
   echo "=== probing $sf ==="
-  SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=8 SPARK_GRAFT_ONLY="$QUERIES" \
+  SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=8 SPARK_GRAFT_ONLY="$qs" \
     SPARK_GRAFT_PRIOR=none \
     SPARK_GRAFT_TELEMETRY="$OUT/telemetry_$tag.jsonl" SPARK_DRIVER_MEM=24g \
     tools/run_local.sh graft.Bench 2> "$OUT/stderr_$tag.log" \
