@@ -17,11 +17,14 @@ mkdir -p "$OUT"
 # index build — VERDICT r7 items 2 and 7). SPARK_GRAFT_PRIOR=none: the
 # probe subset must not trigger self-adjudication against a full-suite
 # prior line.
-QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144"
-# q102 is the labeled recall-audit posture (candidates ~ n^2*L/2^b): 24.7 s
-# at sf1, projected hours at sf10 — its scale story is told by the sf0.1/sf1
-# pair; the sf10 leg carries the production postures only.
+QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145"
+# Two sf10 exclusions, both the KNOWN n^2/2^b knee at fixed 8-bit geometry
+# whose cost carries no information q101's own sf10 datum doesn't: q102
+# (multi-probe recall audit, 46 s at sf1) and q140 (8-bit index probe,
+# ~2B raw candidates at 100x — the stepped-geometry answer is q143/q145,
+# and q140's batch-proportional claim is probed by the sf0.1/sf1 pair).
 SF10_QUERIES="${QUERIES/q102,/}"
+SF10_QUERIES="${SF10_QUERIES/q140,/}"
 for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
   qs="$QUERIES"; [ "$sf" = "$SF10" ] && qs="$SF10_QUERIES"
