@@ -46,7 +46,7 @@ object SparkEntry {
     * posture, not to run at 100 TB. Tooling (Bench, compare_bench.py,
     * scale probes) uses this set to separate "production posture" from
     * "ground-truth audit" mechanically instead of by prose (VERDICT r6
-    * item 3). Pairings: q51→q52, q54→q101/q102/q143, q55→q56/q84,
+    * item 3). Pairings: q51→q52, q54→q101/q102/q143/q146, q55→q56/q84,
     * q128→q128b, q130→q130b, q134→q138. q144 is the MAINTENANCE side of
     * q140 (the index build the probe amortizes over) — marked here for
     * the same mechanical reason: its cost is intentionally corpus-scale

@@ -525,6 +525,29 @@ object Dedup {
 
   val q143Sql: String = neardupOracleSql(11, multiProbe = false)
 
+  /** The next decade's posture (sf100-class corpora): 4 tables × 14 bits
+    * from the first 56 shared planes. The round-8 sf10 probe measured the
+    * whole dial arc in one session: 8-bit (q101) DIED at sf10 — its
+    * ~5.6e9-pair candidate sort spilled past the machine's ~80 GB of free
+    * disk — and 11-bit (q143) completed but ground at 296 s on ~4.4e8
+    * candidates, i.e. 11 bits is the sf1→sf10 bridge already near its own
+    * knee. Stepping to 14 bits cuts same-bucket candidate volume another
+    * ~10× (n²·L/2^b arithmetic: ~4.5e7 at sf10's 600k vectors), at the
+    * usual recall trade on threshold-grazing pairs ((1−θ/π)^14 per table,
+    * 4 tables) that multi-probing or a wider plane set buys back at real
+    * deployments. Oracle-checked end to end like every registered
+    * geometry; containment within the coarser postures is the same
+    * sub-table concatenation argument DedupSpec pins for 8-vs-4.
+    */
+  def q146EmbeddingNeardupR14(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      bitsPerTable = 14)
+  }
+
+  val q146Sql: String = neardupOracleSql(14, multiProbe = false)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -780,10 +803,31 @@ object Dedup {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
       embBits = 8)
 
-  val q137Sql: String =
+  /** q145 — the consensus ensemble composed on the 11-bit embedding leg:
+    * the q137 lesson ("composition queries must compose the at-scale
+    * postures") applied one corpus decade further. q137's embedding leg
+    * is q101's 8-bit geometry, which the sf10 probe shows hitting its
+    * n²·L/2^b knee at 100× sf0.1 — so at that scale the ensemble steps
+    * its semantic leg to q143's 5×11-bit geometry, exactly as q137
+    * stepped q54's 4-bit leg to 8 at the previous decade. The MinHash and
+    * SimHash legs are corpus-size-indifferent (banded/pigeonholed) and
+    * stay as they are. Vote semantics unchanged; only pairs whose
+    * embedding vote was decisive can differ from q137.
+    */
+  def q145ConsensusDedupR11(s: SparkSession, dir: String): DataFrame =
+    consensusNearDups(
+      t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      embBits = 11)
+
+  val q137Sql: String = consensusSql(q101Sql)
+  val q145Sql: String = consensusSql(q143Sql)
+
+  private def consensusSql(embLegSql: String): String =
     s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
        s AS (SELECT id1, id2 FROM ($q53Pairs)),
-       e AS (SELECT id1, id2 FROM ($q101Sql)),
+       e AS (SELECT id1, id2 FROM ($embLegSql)),
        u AS (SELECT id1, id2 FROM m UNION SELECT id1, id2 FROM s
              UNION SELECT id1, id2 FROM e),
        voted AS (
@@ -811,7 +855,9 @@ object Dedup {
     "q102_embedding_neardup_multiprobe" -> (q102EmbeddingNeardupMp _),
     "q143_embedding_neardup_r11" -> (q143EmbeddingNeardupR11 _),
     "q115_repeated_spans" -> (q115RepeatedSpans _),
-    "q137_consensus_dedup" -> (q137ConsensusDedup _))
+    "q137_consensus_dedup" -> (q137ConsensusDedup _),
+    "q145_consensus_dedup_r11" -> (q145ConsensusDedupR11 _),
+    "q146_embedding_neardup_r14" -> (q146EmbeddingNeardupR14 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -827,5 +873,7 @@ object Dedup {
     "q102_embedding_neardup_multiprobe" -> q102Sql,
     "q143_embedding_neardup_r11" -> q143Sql,
     "q115_repeated_spans" -> q115Sql,
-    "q137_consensus_dedup" -> q137Sql)
+    "q137_consensus_dedup" -> q137Sql,
+    "q145_consensus_dedup_r11" -> q145Sql,
+    "q146_embedding_neardup_r14" -> q146Sql)
 }

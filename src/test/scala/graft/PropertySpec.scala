@@ -63,7 +63,7 @@ class PropertySpec extends SparkSpec {
     assert(dangling.isEmpty, s"auditBaselines name no query: $dangling")
     val partners = Map(
       "q51_dedup_jaccard" -> Seq("q52"),
-      "q54_embedding_neardup" -> Seq("q101", "q102", "q143"),
+      "q54_embedding_neardup" -> Seq("q101", "q102", "q143", "q146"),
       "q55_ann_bruteforce" -> Seq("q56", "q84"),
       "q128_kmv_distinct" -> Seq("q128b"),
       "q130_kmv_overlap" -> Seq("q130b"),

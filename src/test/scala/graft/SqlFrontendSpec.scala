@@ -57,7 +57,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q128b_kmv_distinct_sketch", "q130b_kmv_overlap_sketch",
     "q137_consensus_dedup", "q138_mad_outliers_hist", "q139_chunk_windows",
     "q140_ann_index_probe", "q141_ppm_decode", "q142_ppm_resize",
-    "q143_embedding_neardup_r11", "q144_ann_index_build")
+    "q143_embedding_neardup_r11", "q144_ann_index_build",
+    "q145_consensus_dedup_r11", "q146_embedding_neardup_r14")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted

@@ -27,6 +27,15 @@ def main():
     p10 = load_line(f"{probe_dir}/bench_sf10.json")
     audit = set(full.get("audit", []))
 
+    def speed(line):
+        # A line's machine-speed estimate: the FASTEST anchor observed in
+        # that run. The headline "anchor" is measured at suite start on a
+        # cold JVM and routinely reads 2-3x the flat mid-suite series
+        # (r8 probe legs: headline 0.385 vs mid-suite 0.109) — consistent
+        # with per-query min-of-3, the min anchor is the least-loaded
+        # sample of the same instrument.
+        return min([line["anchor"]] + list(line.get("anchors", [])))
+
     def norm_ratio(base, other):
         # anchor-normalize: seconds scale with machine speed; divide each
         # run by its own anchor before ratioing.
@@ -34,7 +43,7 @@ def main():
         for q, s in other["queries"].items():
             b = base["queries"].get(q)
             if b and b > 0:
-                out[q] = (s / other["anchor"]) / (b / base["anchor"])
+                out[q] = (s / speed(other)) / (b / speed(base))
         return out
 
     r1 = norm_ratio(p01, p1)
@@ -49,9 +58,9 @@ def main():
         c10 = f"{r10[q]:.1f}x" if q in r10 else "—"
         print(f"| {q} | {sec:.2f} | {c1} | {c10} | {posture} |")
     print()
-    print(f"(full-suite anchor {full['anchor']:.3f}; probe anchors "
-          f"sf0.1 {p01['anchor']:.3f} / sf1 {p1['anchor']:.3f} / "
-          f"sf10 {p10['anchor']:.3f}, same boot)")
+    print(f"(full-suite anchor {speed(full):.3f}; probe anchors "
+          f"sf0.1 {speed(p01):.3f} / sf1 {speed(p1):.3f} / "
+          f"sf10 {speed(p10):.3f}, same boot)")
 
 
 if __name__ == "__main__":

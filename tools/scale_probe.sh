@@ -18,13 +18,21 @@ mkdir -p "$OUT"
 # probe subset must not trigger self-adjudication against a full-suite
 # prior line.
 QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145"
-# Two sf10 exclusions, both the KNOWN n^2/2^b knee at fixed 8-bit geometry
-# whose cost carries no information q101's own sf10 datum doesn't: q102
-# (multi-probe recall audit, 46 s at sf1) and q140 (8-bit index probe,
-# ~2B raw candidates at 100x — the stepped-geometry answer is q143/q145,
-# and q140's batch-proportional claim is probed by the sf0.1/sf1 pair).
+# sf10 exclusions — every 8-bit-geometry formulation, after the round-8
+# leg MEASURED the knee as a hard failure, not a slowdown: q101's
+# candidate sort at sf10 spilled past the machine's ~80 GB of free disk
+# (SparkOutOfMemoryError: SPILL_OUT_OF_MEMORY / No space left on device,
+# stage 38, 2026-08-14) — ~5.6e9 same-bucket pairs at 600k vectors x
+# 8 tables / 2^8 buckets, exactly the n^2*L/2^b arithmetic. q137 embeds
+# the same 8-bit subplan; q102 multiplies it by the probe set; q140's
+# 8-bit index probe is ~2e9 raw candidates. The sf10 leg therefore runs
+# the STEPPED postures (q143/q145) plus everything sublinear — which is
+# the registered 100x doctrine, now backed by a measured failure instead
+# of an extrapolated slowdown.
 SF10_QUERIES="${QUERIES/q102,/}"
 SF10_QUERIES="${SF10_QUERIES/q140,/}"
+SF10_QUERIES="${SF10_QUERIES/q101,/}"
+SF10_QUERIES="${SF10_QUERIES/q137,/}"
 for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
   qs="$QUERIES"; [ "$sf" = "$SF10" ] && qs="$SF10_QUERIES"
