@@ -536,8 +536,16 @@ object Dedup {
     * usual recall trade on threshold-grazing pairs ((1−θ/π)^14 per table,
     * 4 tables) that multi-probing or a wider plane set buys back at real
     * deployments. Oracle-checked end to end like every registered
-    * geometry; containment within the coarser postures is the same
-    * sub-table concatenation argument DedupSpec pins for 8-vs-4.
+    * geometry, and every posture's OUTPUT is exact-verified (cosine ≥
+    * 0.45), so each result is a subset of the true pair set. Note strict
+    * candidate containment across postures holds only for DIVIDING
+    * geometries (an 8-bit table is the concatenation of two 4-bit tables
+    * — the DedupSpec pin): 11- and 14-bit tables take non-nesting plane
+    * spans, so their candidate sets are each ⊆ the true set but not
+    * formally nested in one another. Measured recall ladder at sf0.1
+    * (vs q54's 138 exact-verified pairs): q101 32, q102 116, q143 5,
+    * q146 3 — the price the n²·L/2^b candidate cut pays, recorded in
+    * BASELINE.md next to the wall-clock it buys.
     */
   def q146EmbeddingNeardupR14(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
