@@ -533,11 +533,33 @@ object Similarity {
   def q111SemanticDedupScaled(s: SparkSession, dir: String): DataFrame =
     semanticDedup(s, dir, cellBits = 8)
 
+  /** 1024-cell SemDeDup — registered as the MEASURED FALSIFICATION of the
+    * naive cell-step doctrine for flat IVF. The expectation (q107→q111
+    * extrapolated, "cellBits tracks log₂(n)") was that 4× more cells
+    * would relieve q111's 10.6× sf10 ratio the way q146 relieved q143.
+    * The same-boot sf10 probe says otherwise: q147 26.2 s vs q111 13.8 s
+    * — SLOWER at 4× fewer candidates — because a flat IVF pays Θ(n·k)
+    * assignment dots in [[ivfScored]]'s Lloyd step (600k × 1024 ≈ 6×10⁸
+    * 64-dim dots at sf10), so stepping k per decade makes TOTAL
+    * assignment cost quadratic in corpus size even as candidates shrink.
+    * The dials that DO step per decade are the hash-cell geometries
+    * (q143/q146: assignment is b sign dots per row, k-independent); the
+    * IVF-side scale path is HIERARCHICAL assignment (two-level √k × √k,
+    * Θ(n·√k)) — a design note, deliberately not registered until a probe
+    * can grade it. Oracle-checked like every geometry; kept registered
+    * because a measured negative result is what stops the next reader
+    * from re-deriving the wrong extrapolation.
+    */
+  def q147SemanticDedup1k(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, cellBits = 10)
+
   /** Oracle: the shared IVF CTE prefix, same-cell pairs, same fixed-order
     * cosine fold and threshold. */
   def q107Sql: String = semanticSql(4)
 
   def q111Sql: String = semanticSql(8)
+
+  def q147Sql: String = semanticSql(10)
 
   private def semanticSql(cellBits: Int): String =
     s"""WITH ${ivfCteSql(cellBits)},
@@ -990,7 +1012,8 @@ object Similarity {
     "q107_semantic_dedup" -> (q107SemanticDedup _),
     "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _),
     "q140_ann_index_probe" -> (q140AnnIndexProbe _),
-    "q144_ann_index_build" -> (q144AnnIndexBuild _))
+    "q144_ann_index_build" -> (q144AnnIndexBuild _),
+    "q147_semantic_dedup_1k" -> (q147SemanticDedup1k _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1003,5 +1026,6 @@ object Similarity {
     "q107_semantic_dedup" -> q107Sql,
     "q111_semantic_dedup_scaled" -> q111Sql,
     "q140_ann_index_probe" -> q140Sql,
-    "q144_ann_index_build" -> q144Sql)
+    "q144_ann_index_build" -> q144Sql,
+    "q147_semantic_dedup_1k" -> q147Sql)
 }

@@ -58,7 +58,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q137_consensus_dedup", "q138_mad_outliers_hist", "q139_chunk_windows",
     "q140_ann_index_probe", "q141_ppm_decode", "q142_ppm_resize",
     "q143_embedding_neardup_r11", "q144_ann_index_build",
-    "q145_consensus_dedup_r11", "q146_embedding_neardup_r14")
+    "q145_consensus_dedup_r11", "q146_embedding_neardup_r14",
+    "q147_semantic_dedup_1k")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
