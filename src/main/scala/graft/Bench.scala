@@ -15,36 +15,66 @@ object Bench {
     (r.totalMemory - r.freeMemory) / (1024L * 1024L)
   }
 
-  /** Prior-round bench line, if available: the (anchor, short-key -> sec)
-    * pair the self-adjudication pass compares against. Accepts a raw
-    * bench line, the driver's {"tail": "..."} wrapper, or — the r07
+  /** Prior-round bench line, if available: (anchor, short-key -> sec,
+    * prior sf if recoverable) for the self-adjudication pass. Accepts a
+    * raw bench line, the driver's {"tail": "..."} wrapper, or — the r07
     * failure mode — a HEAD-TRUNCATED fragment of either (the driver's
-    * bounded stdout capture keeps the tail): extraction is by regex, not
-    * full JSON parse, so any fragment containing "qNN":sec pairs and an
-    * anchor (or the anchors series) adjudicates. "qNN" keys can appear in
-    * both "remeasured" and "queries"; "queries" is emitted LAST, so the
-    * later (min-adjudicated) value wins the fold. The "audit" array's
-    * bare "qNN" strings never match (no colon-digit suffix).
+    * bounded stdout capture keeps the tail).
+    *
+    * A file can hold MORE than one bench line (ad-hoc re-runs appended to
+    * a capture); merging qNN pairs across the whole file while taking the
+    * anchor from the first match would pair a round-N anchor with
+    * round-M timings (ADVICE r8). So: prefer a full JSON parse of the
+    * LAST complete bench line; otherwise scope the fragment regex to the
+    * text after the last `{"metric":"total"` opener (when present) so
+    * every recovered field comes from the same line. Within one line,
+    * "qNN" keys can appear in both "remeasured" and "queries"; "queries"
+    * is emitted LAST, so the later (min-adjudicated) value wins the fold.
+    * The "audit" array's bare "qNN" strings never match (no colon-digit
+    * suffix).
     */
-  private def loadPrior(path: String): Option[(Double, Map[String, Double])] = {
+  private[graft] def loadPrior(path: String): Option[(Double, Map[String, Double], Option[String])] = {
     try {
       val txt0 = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
       // Driver wrapper: the bench line lives (escaped) inside "tail".
-      val txt = try {
-        val w = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt0)
+      val txtFull = try {
+        val w = om.readTree(txt0)
         if (w != null && w.has("tail")) w.get("tail").asText() else txt0
       } catch { case _: Throwable => txt0 }
-      val num = """([0-9]+(?:\.[0-9]+)?)"""
-      val qs = (s""""(q\\d+[a-z]*)":$num""").r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toSeq
-      val anchor = (s""""anchor":$num""").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
-        .orElse(""""anchors":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-          .flatMap(_.group(1).split(",").lastOption.filter(_.trim.nonEmpty))
-          .map(_.trim.toDouble))
-      anchor match {
-        case Some(a) if qs.nonEmpty => Some((a, qs.toMap))
-        case _ => None
+      // Preferred path: the last COMPLETE bench line that parses as JSON.
+      val complete = txtFull.linesIterator.filter(_.contains("\"metric\":\"total\""))
+        .flatMap { line =>
+          try {
+            val j = om.readTree(line.dropWhile(_ != '{'))
+            if (j != null && j.has("anchor") && j.has("queries")) {
+              val qNode = j.get("queries")
+              val it = qNode.fieldNames()
+              val qs = scala.collection.mutable.Map[String, Double]()
+              while (it.hasNext) { val k = it.next(); qs += k -> qNode.get(k).asDouble() }
+              Some((j.get("anchor").asDouble(), qs.toMap,
+                Option(j.get("sf")).map(_.asText())))
+            } else None
+          } catch { case _: Throwable => None }
+        }.toSeq.lastOption
+      complete.orElse {
+        // Fragment path: scope to the LAST line's text so anchor/queries/sf
+        // never mix across lines.
+        val start = txtFull.lastIndexOf("{\"metric\":\"total\"")
+        val txt = if (start >= 0) txtFull.substring(start) else txtFull
+        val num = """([0-9]+(?:\.[0-9]+)?)"""
+        val qs = (s""""(q\\d+[a-z]*)":$num""").r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+        val anchor = (s""""anchor":$num""").r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+          .orElse(""""anchors":\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+            .flatMap(_.group(1).split(",").lastOption.filter(_.trim.nonEmpty))
+            .map(_.trim.toDouble))
+        val sf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        anchor match {
+          case Some(a) if qs.nonEmpty => Some((a, qs.toMap, sf))
+          case _ => None
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] prior bench load failed ($path): ${e.getMessage}")
@@ -234,12 +264,24 @@ object Bench {
     // the 3-run minimum already is; the re-run happens after the suite's
     // memory pressure has been GC'd away, which is exactly the isolated
     // condition the manual adjudications used.
-    val prior = priorPath().flatMap(loadPrior)
+    // ADVICE r8: priorPath() defaults to the newest BENCH_r*.json in cwd,
+    // which the driver records at sf0.1 — an ad-hoc sf1/sf10 run from the
+    // repo root would silently adjudicate against the wrong scale, flag
+    // nearly everything, and triple-run the suite. Skip adjudication on a
+    // scale mismatch ("sf" is emitted last, so it survives head
+    // truncation; a prior with no recoverable sf adjudicates as before).
+    val prior = priorPath().flatMap(loadPrior).filter {
+      case (_, _, priorSf) =>
+        val ok = priorSf.forall(_ == sfDir)
+        if (!ok) System.err.println(
+          s"[bench] prior sf ${priorSf.get} != current $sfDir — skipping adjudication")
+        ok
+    }
     val flagThreshold = sys.env.get("SPARK_GRAFT_FLAG_RATIO").map(_.toDouble).getOrElse(1.5)
     val byName = selected.toMap
     val remeasured = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results: Map[String, Double] = prior match {
-      case Some((priorAnchor, priorQs)) =>
+      case Some((priorAnchor, priorQs, _)) =>
         val anchorRatio = anchor / priorAnchor
         firstPass.toMap.map { case (name, sec) =>
           val short = name.takeWhile(_ != '_')

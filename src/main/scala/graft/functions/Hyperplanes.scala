@@ -28,13 +28,28 @@ object Hyperplanes {
   val bits = 4
   val tables = 16
 
-  /** Seed 7 — must stay stable: the q54 oracle and the q56 recall spec pin
-    * results under these exact planes.
+  /** Upper bound of the PARAMETERIZED plane budget (VERDICT r8 item 1):
+    * 512 planes supports held-L high-bit geometries up to 32 tables × 16
+    * bits. The fixed 64-plane pool forced every high-bit posture to
+    * SHRINK L (8×8 → 5×11 → 4×14), which is where the measured recall
+    * collapse came from — recall ≈ 1−(1−p^b)^L needs L held (or grown)
+    * while b steps with log₂(corpus).
     */
-  lazy val planes: Array[Array[Double]] = {
+  val maxPlanes = 512
+
+  /** Seed 7 — must stay stable: the q54 oracle and the q56 recall spec pin
+    * results under these exact planes. `scala.util.Random` generates
+    * row-sequentially, so [[planesAll]]'s first `tables * bits` rows are
+    * bit-identical to the pre-round-9 64-plane pool — every existing
+    * geometry's buckets (and oracle) are unchanged by the budget growth.
+    */
+  lazy val planesAll: Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(tables * bits, dim)(rnd.nextGaussian())
+    Array.fill(maxPlanes, dim)(rnd.nextGaussian())
   }
+
+  /** The legacy 64-plane pool (a prefix view of [[planesAll]]). */
+  lazy val planes: Array[Array[Double]] = planesAll.take(tables * bits)
 
   /** Shortest-roundtrip-safe literal: 17 significant digits, E-notation so
     * both parsers produce a DOUBLE (never DECIMAL).
@@ -62,6 +77,18 @@ object Hyperplanes {
     */
   def sparkBucketsExpr(emb: String, bitsPerTable: Int): String =
     s"graft_lsh_buckets($emb, $bitsPerTable)"
+
+  /** The HELD-L form (VERDICT r8 item 1): `numTables` tables of
+    * `bitsPerTable` bits each, drawn from the first numTables·bits planes
+    * of the parameterized pool — so stepping b with the corpus no longer
+    * shrinks the table count (the round-8 measured recall collapse:
+    * 8×8 → 5×11 → 4×14 kept 32 → 5 → 3 of the 144 sf0.1 true pairs).
+    */
+  def sparkBucketsExpr(emb: String, bitsPerTable: Int, numTables: Int): String =
+    s"graft_lsh_buckets($emb, $bitsPerTable, $numTables)"
+
+  /** Legacy table count of the fixed 64-plane pool: ⌊64/bits⌋. */
+  def legacyTables(bitsPerTable: Int): Int = tables * bits / bitsPerTable
 
   /** The pre-round-3 formulation: one `graft_dot` against a literal plane
     * array per (table, bit). Retained as the independent reference
@@ -107,15 +134,28 @@ object Hyperplanes {
     * cluster-scoped mining).
     */
   def sparkCellExprN(emb: String, cellBits: Int): String =
-    (0 until cellBits).map { b =>
-      val p = planeArraySql(planes(b), "array(", ")")
-      s"(CASE WHEN graft_dot($emb, $p) > 0D THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+    sparkCellExprRange(emb, 0, cellBits)
 
   /** DuckDB replica of [[sparkCellExprN]] — identical fold and literals. */
   def duckCellSqlN(emb: String, cellBits: Int): String =
+    duckCellSqlRange(emb, 0, cellBits)
+
+  /** [[sparkCellExprN]] from the `cellBits` planes starting at pool index
+    * `start` — the hierarchical IVF quantizer's two independent seed
+    * levels (super cells from planes [0, hi), sub cells from
+    * [hi, hi + lo)) come from disjoint plane spans of the same seed-7
+    * pool.
+    */
+  def sparkCellExprRange(emb: String, start: Int, cellBits: Int): String =
     (0 until cellBits).map { b =>
-      val p = planeArraySql(planes(b), "[", "]")
+      val p = planeArraySql(planesAll(start + b), "array(", ")")
+      s"(CASE WHEN graft_dot($emb, $p) > 0D THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB replica of [[sparkCellExprRange]]. */
+  def duckCellSqlRange(emb: String, start: Int, cellBits: Int): String =
+    (0 until cellBits).map { b =>
+      val p = planeArraySql(planesAll(start + b), "[", "]")
       s"""(CASE WHEN list_reduce(
            [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
            (acc, v) -> acc + v) > 0 THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"""
@@ -140,10 +180,20 @@ object Hyperplanes {
     // the first ⌊64/b⌋·b planes (the 11-bit sf10 posture = 5 tables × 11).
     require(bitsPerTable > 0 && tables * bits / bitsPerTable >= 1,
       s"bitsPerTable must fit in ${tables * bits} planes, got $bitsPerTable")
-    val nTables = tables * bits / bitsPerTable
-    val buckets = (0 until nTables).map { tbl =>
+    duckBucketsSql(emb, bitsPerTable, legacyTables(bitsPerTable))
+  }
+
+  /** Held-L DuckDB replica — identical plane indexing
+    * (t · bitsPerTable + b into [[planesAll]]) and MSB-first weighting as
+    * [[LshBucketsExpr]], so bucket ids agree bit-for-bit at any
+    * (bits, tables) point of the parameterized budget.
+    */
+  def duckBucketsSql(emb: String, bitsPerTable: Int, numTables: Int): String = {
+    require(bitsPerTable > 0 && numTables > 0 && bitsPerTable * numTables <= maxPlanes,
+      s"geometry $numTables x $bitsPerTable exceeds the $maxPlanes-plane budget")
+    val buckets = (0 until numTables).map { tbl =>
       (0 until bitsPerTable).map { b =>
-        val p = planeArraySql(planes(tbl * bitsPerTable + b), "[", "]")
+        val p = planeArraySql(planesAll(tbl * bitsPerTable + b), "[", "]")
         s"""(CASE WHEN list_reduce(
              [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
              (acc, v) -> acc + v) > 0 THEN ${1 << (bitsPerTable - 1 - b)} ELSE 0 END)"""

@@ -40,8 +40,11 @@ object VectorExpressions {
       case Seq(c) => LshBucketsExpr(c)
       case Seq(c, b) => LshBucketsExpr(c,
         b.eval().asInstanceOf[Number].intValue())
+      case Seq(c, b, n) => LshBucketsExpr(c,
+        b.eval().asInstanceOf[Number].intValue(),
+        n.eval().asInstanceOf[Number].intValue())
       case other => throw new IllegalArgumentException(
-        s"graft_lsh_buckets takes (emb[, bitsPerTable]), got ${other.size} args")
+        s"graft_lsh_buckets takes (emb[, bitsPerTable[, numTables]]), got ${other.size} args")
     }: (Seq[Expression] => Expression)),
     ("graft_minhash_sig", classOf[MinHashSigExpr].getName,
       arity1("graft_minhash_sig", MinHashSigExpr(_))),
@@ -143,15 +146,22 @@ case class DotProductExpr(left: Expression, right: Expression)
   * the multi-expression form and to DuckDB.
   */
 case class LshBucketsExpr(child: Expression,
-                          bitsPerTable: Int = Hyperplanes.bits) extends UnaryExpression {
-  // Non-dividing geometries (the 10-11-bit sf10 posture, VERDICT r7 item
-  // 2) use the FIRST ⌊64/bits⌋·bits planes; the remainder planes are
-  // simply unused. Dividing geometries are unchanged (⌊64/b⌋ = 64/b).
+                          bitsPerTable: Int = Hyperplanes.bits,
+                          numTables: Int = -1) extends UnaryExpression {
+  // numTables = -1 (the 1- and 2-arg SQL forms) keeps the legacy fixed
+  // 64-plane pool: ⌊64/bits⌋ tables, so non-dividing geometries (the
+  // 11-bit sf10 posture) use the FIRST ⌊64/bits⌋·bits planes. An explicit
+  // numTables is the HELD-L dial (VERDICT r8 item 1): it draws
+  // numTables·bits planes from the parameterized seed-7 pool, so stepping
+  // bits with the corpus no longer shrinks the table count.
   require(bitsPerTable > 0 && bitsPerTable <= 30 &&
-    Hyperplanes.tables * Hyperplanes.bits / bitsPerTable >= 1,
-    s"bitsPerTable must fit in ${Hyperplanes.tables * Hyperplanes.bits} planes, got $bitsPerTable")
+    (if (numTables == -1) Hyperplanes.tables * Hyperplanes.bits / bitsPerTable >= 1
+     else numTables > 0 && numTables * bitsPerTable <= Hyperplanes.maxPlanes),
+    s"geometry ${numTables} x $bitsPerTable exceeds the ${Hyperplanes.maxPlanes}-plane budget")
 
-  private def nTables: Int = Hyperplanes.tables * Hyperplanes.bits / bitsPerTable
+  private def nTables: Int =
+    if (numTables == -1) Hyperplanes.tables * Hyperplanes.bits / bitsPerTable
+    else numTables
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -222,14 +232,15 @@ case class LshBucketsExpr(child: Expression,
 }
 
 object LshBucketsExpr {
-  /** Row-major (plane, dim) flattening of [[Hyperplanes.planes]], shared
-    * by interpreted eval and the codegen reference object.
+  /** Row-major (plane, dim) flattening of [[Hyperplanes.planesAll]] (the
+    * full parameterized budget — its 64-plane prefix is the legacy pool),
+    * shared by interpreted eval and the codegen reference object.
     */
   lazy val flatPlanes: Array[Double] = {
-    val out = new Array[Double](Hyperplanes.tables * Hyperplanes.bits * Hyperplanes.dim)
+    val out = new Array[Double](Hyperplanes.maxPlanes * Hyperplanes.dim)
     var j = 0
-    while (j < Hyperplanes.tables * Hyperplanes.bits) {
-      System.arraycopy(Hyperplanes.planes(j), 0, out, j * Hyperplanes.dim, Hyperplanes.dim)
+    while (j < Hyperplanes.maxPlanes) {
+      System.arraycopy(Hyperplanes.planesAll(j), 0, out, j * Hyperplanes.dim, Hyperplanes.dim)
       j += 1
     }
     out

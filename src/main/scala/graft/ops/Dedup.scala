@@ -402,8 +402,9 @@ object Dedup {
     */
   def embeddingNearDups(e: DataFrame, threshold: Double = 0.45,
                         bitsPerTable: Int = graft.functions.Hyperplanes.bits,
-                        multiProbe: Boolean = false): DataFrame = {
-    val cands = embeddingCandidates(e, bitsPerTable, multiProbe)
+                        multiProbe: Boolean = false,
+                        numTables: Int = -1): DataFrame = {
+    val cands = embeddingCandidates(e, bitsPerTable, multiProbe, numTables)
     cands
       .join(e.as("a"), col("id1") === col("a.vec_id"))
       .join(e.as("b"), col("id2") === col("b.vec_id"))
@@ -429,9 +430,12 @@ object Dedup {
     * multi-probe candidate is also an r=4 candidate.
     */
   private[graft] def embeddingCandidates(e: DataFrame, bitsPerTable: Int,
-                                         multiProbe: Boolean): DataFrame = {
-    val bands = e.select(col("vec_id"), posexplode(
-      expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable)))
+                                         multiProbe: Boolean,
+                                         numTables: Int = -1): DataFrame = {
+    val bucketsExpr =
+      if (numTables == -1) graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable)
+      else graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)
+    val bands = e.select(col("vec_id"), posexplode(expr(bucketsExpr))
       .as(Seq("tbl", "bucket")))
     val probes =
       if (!multiProbe) bands
@@ -453,13 +457,16 @@ object Dedup {
     * [[embeddingNearDups]] so every registered geometry is hash-checked
     * end to end.
     */
-  private def neardupOracleSql(bitsPerTable: Int, multiProbe: Boolean): String = {
-    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding", bitsPerTable)
-    val nt = graft.functions.Hyperplanes.tables * graft.functions.Hyperplanes.bits / bitsPerTable
+  private def neardupOracleSql(bitsPerTable: Int, multiProbe: Boolean,
+                               numTables: Int = -1,
+                               from: String = "embeddings"): String = {
+    val nt = if (numTables == -1) graft.functions.Hyperplanes.legacyTables(bitsPerTable)
+             else numTables
+    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding", bitsPerTable, nt)
     val collide =
       if (multiProbe) "bit_count(xor(a.sig[i], b.sig[i])) <= 1"
       else "a.sig[i] = b.sig[i]"
-    s"""WITH sig AS (SELECT vec_id, embedding, $sig AS sig FROM embeddings),
+    s"""WITH sig AS (SELECT vec_id, embedding, $sig AS sig FROM $from),
        pairs AS (
          SELECT a.vec_id AS id1, b.vec_id AS id2,
                 list_reduce([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
@@ -518,12 +525,36 @@ object Dedup {
     */
   def q143EmbeddingNeardupR11(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
-      bitsPerTable = 11)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 11)
   }
 
-  val q143Sql: String = neardupOracleSql(11, multiProbe = false)
+  val q143Sql: String =
+    neardupOracleSql(11, multiProbe = false, from = plantedEmbeddingsSql)
+
+  /** Guaranteed-surviving fixture for the high-bit postures (VERDICT r8
+    * item 2): q143/q146 returned 0 rows at the verify SF, so their hash
+    * gate proved only that both engines find nothing — a silently-emptied
+    * candidate path would also have passed. Following q114's
+    * planted-re-encode pattern, union three EXACT duplicate embeddings
+    * (vec_id + 10,000,000 clones of vec_id < 3). An exact duplicate
+    * hashes into the SAME bucket in EVERY table at ANY geometry (all
+    * plane dots are bit-identical), and the corpus is unit-norm, so each
+    * clone pair is a provable candidate with exact cosine 1.0 ≥ 0.45 —
+    * the candidate path now must produce ≥ 3 rows or the hash check
+    * fails loudly.
+    */
+  private[ops] def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    e.unionByName(e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"), col("emb")))
+  }
+
+  /** DuckDB replica of [[plantedEmbeddings]] as a FROM subselect. */
+  private[ops] lazy val plantedEmbeddingsSql: String =
+    """(SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 3)"""
 
   /** The next decade's posture (sf100-class corpora): 4 tables × 14 bits
     * from the first 56 shared planes. The round-8 sf10 probe measured the
@@ -549,12 +580,78 @@ object Dedup {
     */
   def q146EmbeddingNeardupR14(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    embeddingNearDups(t(s, dir, "embeddings").select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
-      bitsPerTable = 14)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 14)
   }
 
-  val q146Sql: String = neardupOracleSql(14, multiProbe = false)
+  val q146Sql: String =
+    neardupOracleSql(14, multiProbe = false, from = plantedEmbeddingsSql)
+
+  /** q148 — the 11-bit posture with L HELD at 16 tables (176 planes from
+    * the parameterized budget — VERDICT r8 item 1). The fixed 64-plane
+    * pool forced q143 to shrink to 5 tables when b stepped to 11; holding
+    * L multiplies threshold-grazing recall by ~16/5 at ~16/5 the
+    * candidate volume (recall ≈ 1−(1−p^b)^L is ~linear in L when
+    * p^b ≪ 1, and candidates are exactly linear in L). The measured
+    * recall/cost frontier lives in BASELINE.md: holding L buys recall
+    * LINEARLY while the b-step cut candidates EXPONENTIALLY — the two
+    * dials are not symmetric, which is the round-9 measured finding.
+    */
+  def q148EmbeddingNeardupWide11(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 11, numTables = 16)
+  }
+
+  val q148Sql: String =
+    neardupOracleSql(11, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
+
+  /** q149 — 16 tables × 14 bits (224 planes): the held-L form of q146,
+    * the next-decade posture. Same planted-survivor fixture, so the
+    * candidate path is non-vacuous at every SF.
+    */
+  def q149EmbeddingNeardupWide14(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 14, numTables = 16)
+  }
+
+  val q149Sql: String =
+    neardupOracleSql(14, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
+
+  /** q151 — held-L 14-bit WITH multi-probing (VERDICT r8 item 6: test the
+    * probe dial on a held-L geometry, where round 8 measured it fading
+    * under SHRINKING L). Hamming ≤ 1 in 16 tables of 14 bits: per-table
+    * grazing collision rises from p¹⁴ to p¹⁴ + 14·p¹³(1−p) (~8×) at 15×
+    * the probe rows — the candidate-volume/recall midpoint between q149
+    * and the recall-grade q152.
+    */
+  def q151EmbeddingNeardupWide14Mp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 14, numTables = 16,
+      multiProbe = true)
+  }
+
+  val q151Sql: String =
+    neardupOracleSql(14, multiProbe = true, numTables = 16, from = plantedEmbeddingsSql)
+
+  /** q152 — the RECALL-GRADE held-L posture: 32 tables × 11 bits (352
+    * planes) with 1-bit multi-probing. This is the geometry the L-growth
+    * arithmetic says restores q102-class recall after the 8→11-bit step:
+    * holding recall across Δb more bits requires L to grow by ~p^−Δb
+    * (≈3.4× at p≈0.66), so 8 tables at 8 bits become ~27-32 at 11 —
+    * L grows with the SAME exponential the b-step saved, which is the
+    * measured LSH lower bound (ρ = ln p₁ / ln p₂ ≈ 0.59 for
+    * grazing-vs-random on this corpus) asserting itself. Registered as
+    * the recall-first audit posture of the high-bit family: per-decade
+    * candidate volume sits near the 8-bit+probe family's, NOT near
+    * q149's — BASELINE.md carries the measured frontier.
+    */
+  def q152EmbeddingNeardupRecall(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 11, numTables = 32,
+      multiProbe = true)
+  }
+
+  val q152Sql: String =
+    neardupOracleSql(11, multiProbe = true, numTables = 32, from = plantedEmbeddingsSql)
 
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
@@ -778,10 +875,11 @@ object Dedup {
   def consensusNearDups(docs: DataFrame, emb: DataFrame,
                         minVotes: Int = 2,
                         embBits: Int = graft.functions.Hyperplanes.bits,
+                        embTables: Int = -1,
                         handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
     val mh = handle.pin(minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")))
     val sh = handle.pin(simhashPairs(docs).select(col("id1"), col("id2")))
-    val em = handle.pin(embeddingNearDups(emb, bitsPerTable = embBits)
+    val em = handle.pin(embeddingNearDups(emb, bitsPerTable = embBits, numTables = embTables)
       .select(col("id1"), col("id2")))
     val ids = mh.unionByName(sh).unionByName(em).distinct()
     ids
@@ -829,8 +927,31 @@ object Dedup {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
       embBits = 11)
 
+  /** q153 — the consensus ensemble recomposed on the HELD-L 14-bit
+    * embedding leg (VERDICT r8 item 5): q145's sf10 ratio (75.8×) was its
+    * 5×11-bit leg grinding near the knee; this steps the semantic leg to
+    * q149's 16×14 geometry — per-table candidates cut 2³·(16/5 tables
+    * reweighted: net ~2.5× fewer than 5×11) with L held for recall. The
+    * lexical and structural legs are corpus-size-indifferent and
+    * unchanged; only pairs whose embedding vote was decisive can differ
+    * from q145. The embedding leg here runs over the REAL corpus (no
+    * planted fixture — the ensemble's non-vacuity comes from its MinHash
+    * and SimHash legs, which carry rows at every SF).
+    */
+  def q153ConsensusDedupWide14(s: SparkSession, dir: String): DataFrame =
+    consensusNearDups(
+      t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      embBits = 14, embTables = 16)
+
   val q137Sql: String = consensusSql(q101Sql)
-  val q145Sql: String = consensusSql(q143Sql)
+  // The ensemble legs run over the REAL embeddings table (no planted
+  // fixture), so their SQL comes straight from neardupOracleSql — q143Sql
+  // and q149Sql themselves now carry the planted-survivor union.
+  val q145Sql: String = consensusSql(neardupOracleSql(11, multiProbe = false))
+  val q153Sql: String =
+    consensusSql(neardupOracleSql(14, multiProbe = false, numTables = 16))
 
   private def consensusSql(embLegSql: String): String =
     s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
@@ -865,7 +986,12 @@ object Dedup {
     "q115_repeated_spans" -> (q115RepeatedSpans _),
     "q137_consensus_dedup" -> (q137ConsensusDedup _),
     "q145_consensus_dedup_r11" -> (q145ConsensusDedupR11 _),
-    "q146_embedding_neardup_r14" -> (q146EmbeddingNeardupR14 _))
+    "q146_embedding_neardup_r14" -> (q146EmbeddingNeardupR14 _),
+    "q148_embedding_neardup_wide11" -> (q148EmbeddingNeardupWide11 _),
+    "q149_embedding_neardup_wide14" -> (q149EmbeddingNeardupWide14 _),
+    "q151_embedding_neardup_wide14_mp" -> (q151EmbeddingNeardupWide14Mp _),
+    "q152_embedding_neardup_recall" -> (q152EmbeddingNeardupRecall _),
+    "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -883,5 +1009,10 @@ object Dedup {
     "q115_repeated_spans" -> q115Sql,
     "q137_consensus_dedup" -> q137Sql,
     "q145_consensus_dedup_r11" -> q145Sql,
-    "q146_embedding_neardup_r14" -> q146Sql)
+    "q146_embedding_neardup_r14" -> q146Sql,
+    "q148_embedding_neardup_wide11" -> q148Sql,
+    "q149_embedding_neardup_wide14" -> q149Sql,
+    "q151_embedding_neardup_wide14_mp" -> q151Sql,
+    "q152_embedding_neardup_recall" -> q152Sql,
+    "q153_consensus_dedup_wide14" -> q153Sql)
 }

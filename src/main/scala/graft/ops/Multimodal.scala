@@ -412,20 +412,27 @@ object Multimodal {
     */
   final case class PpmRecord(doc_id: Long, source: String, ppm: Array[Byte])
 
+  /** Text → raster source bytes, the mapping the oracle reproduces
+    * exactly (ADVICE r7 + r8): CODEPOINT j → codepoint & 0x7f (DuckDB:
+    * ascii(substring) % 128 over its codepoint-indexed substring/length).
+    * Iterating UTF-16 code units matched only for BMP text — a
+    * supplementary-plane char is ONE codepoint to DuckDB but TWO code
+    * units to charAt, giving the two sides different raster lengths and
+    * byte values; mapping via codePoints() makes the parity hold on any
+    * corpus (PpmCodecSpec pins it with a U+1D11E fixture). Empty text —
+    * i % 0 would throw — substitutes a single space, mirrored by the
+    * oracle's len=0 arm.
+    */
+  private[graft] def rasterBytes(text: String): Array[Byte] =
+    if (text.isEmpty) Array(' '.toByte)
+    else text.codePoints().toArray.map(cp => (cp & 0x7f).toByte)
+
   def ppmTable(s: SparkSession, dir: String): Dataset[PpmRecord] = {
     import s.implicits._
     t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, src, text) =>
-        // Byte mapping the oracle reproduces exactly (ADVICE r7):
-        // char j → codepoint & 0x7f (DuckDB: ascii(char) % 128 — identical
-        // for every BMP codepoint; US_ASCII getBytes mapped non-ASCII to
-        // '?' while the oracle's ascii() returned the codepoint, a silent
-        // divergence on non-ASCII corpora). Empty text — i % 0 would throw
-        // — substitutes a single space, mirrored by the oracle's len=0 arm.
-        val bytes =
-          if (text.isEmpty) Array(' '.toByte)
-          else Array.tabulate(text.length)(j => (text.charAt(j) & 0x7f).toByte)
+        val bytes = rasterBytes(text)
         val w = (id % 13 + 4).toInt
         val h = (id % 11 + 3).toInt
         val npx = w * h * 3

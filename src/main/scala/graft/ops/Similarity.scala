@@ -561,6 +561,146 @@ object Similarity {
 
   def q147Sql: String = semanticSql(10)
 
+  /** q150 — HIERARCHICAL IVF assignment (the fix q147's falsification
+    * record names): two-level Lloyd assignment, Θ(n·(2^hi + 2^lo)) instead
+    * of flat IVF's Θ(n·2^(hi+lo)).
+    *
+    * q147 measured the flat-IVF scale problem: stepping the cell count
+    * with the corpus makes the Lloyd assignment itself quadratic in
+    * corpus size (600k × 1024 centroid dots at sf10 — SLOWER than the
+    * 256-cell q111 despite 4× fewer candidates). The standard coarse/fine
+    * decomposition fixes the asymptotics: assign each vector to one of
+    * 2^hi SUPER cells (2^hi dots), then to one of ≤ 2^lo SUB cells
+    * *within its super cell* (≤ 2^lo dots — the sub-centroid join is ON
+    * super, never a cross join). With hi = lo = 5 this gives 1024
+    * effective cells for 64 assignment dots per vector — a 16× assignment
+    * cut vs q147 at identical candidate-volume geometry.
+    *
+    * Both levels reuse the flat quantizer's deterministic machinery:
+    * sign-bit seeding (disjoint plane spans of the shared seed-7 pool),
+    * exact fixed-point centroids, argmax assignment with the d DESC /
+    * cell ASC tie-break — so the DuckDB oracle replays every step
+    * bit-for-bit. Runs over the planted-survivor fixture (see
+    * [[Dedup.plantedEmbeddings]]): an exact duplicate follows its
+    * original through BOTH assignment levels (identical seed cells,
+    * identical centroid dots), so the pair output is provably non-empty
+    * at every SF.
+    *
+    * Scale shape: super scoring is a broadcast of 2^hi centroids; sub
+    * scoring broadcasts ≤ 2^(hi+lo) (super, sub) centroids but each
+    * vector joins only its own super's group; pair mining shuffles once
+    * on the (super, sub) cell like q107. At 100 TB both levels step
+    * (hi, lo) with log₂(corpus)/2 each, keeping assignment Θ(n·√k).
+    */
+  def q150SemanticDedupHier(s: SparkSession, dir: String): DataFrame =
+    semanticDedupHier(s, dir, hiBits = 5, loBits = 5)
+
+  def semanticDedupHier(s: SparkSession, dir: String,
+                        hiBits: Int, loBits: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val emb = Dedup.plantedEmbeddings(s, dir)
+    val fxArr = "transform(emb, x -> CAST(ROUND(x * 10000000) AS BIGINT))"
+    val centroidAgg =
+      expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)")
+    // Level 1: super cells from planes [0, hi).
+    val supSeeded = emb.withColumn("super0",
+      expr(H.sparkCellExprRange("emb", 0, hiBits)))
+    val supCents = supSeeded
+      .select(col("super0"), posexplode(expr(fxArr)).as(Seq("dim", "fx")))
+      .groupBy(col("super0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("super0"))
+      .agg(centroidAgg.as("centroid"))
+      .select(col("super0").as("cell"), col("centroid"))
+    val supAssigned = emb.crossJoin(broadcast(supCents))
+      .select(col("vec_id"), col("cell"), expr("graft_dot(emb, centroid)").as("d"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).cast("int").as("super"))
+    // Level 2: sub cells from the DISJOINT plane span [hi, hi + lo),
+    // seeded and assigned within each super cell.
+    val subSeeded = emb.join(supAssigned, "vec_id")
+      .withColumn("sub0", expr(H.sparkCellExprRange("emb", hiBits, loBits)))
+    val subCents = subSeeded
+      .select(col("super"), col("sub0"), posexplode(expr(fxArr)).as(Seq("dim", "fx")))
+      .groupBy(col("super"), col("sub0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("super"), col("sub0"))
+      .agg(centroidAgg.as("centroid"))
+      .select(col("super"), col("sub0").as("sub"), col("centroid"))
+    val assigned = subSeeded.join(broadcast(subCents), Seq("super"))
+      .select(col("vec_id"), col("super"), col("sub"),
+        expr("graft_dot(emb, centroid)").as("d"))
+      .groupBy(col("vec_id"), col("super"))
+      .agg(max(struct(col("d"), (-col("sub")).as("ns"))).as("m"))
+      .select(col("vec_id"),
+        (col("super") * lit(1 << loBits) - col("m.ns")).cast("int").as("cell"))
+      .join(emb, "vec_id")
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.cell").as("cell"),
+        expr("graft_dot(a.emb, b.emb)").as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .select(col("id1"), col("id2"), col("cell"), round(col("cosine"), 6).as("cos_r"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** DuckDB replica of [[semanticDedupHier]]: identical seed spans,
+    * fixed-point centroids, and per-level argmax (ROW_NUMBER with the
+    * same tie-break), over the same planted-survivor union.
+    */
+  def q150Sql: String = hierSql(5, 5)
+
+  private def hierSql(hiBits: Int, loBits: Int): String = {
+    val H = graft.functions.Hyperplanes
+    val hiCell = H.duckCellSqlRange("embedding", 0, hiBits)
+    val loCell = H.duckCellSqlRange("embedding", hiBits, loBits)
+    def dotC(e: String, c: String) =
+      s"""list_reduce([CAST($e.embedding[i] AS DOUBLE) * $c.centroid[i]
+          FOR i IN generate_series(1, len($e.embedding))], (acc, v) -> acc + v)"""
+    s"""WITH emb AS (SELECT vec_id, embedding FROM ${Dedup.plantedEmbeddingsSql}),
+       sseeded AS (SELECT vec_id, embedding, $hiCell AS super0 FROM emb),
+       scomps AS (SELECT super0, i - 1 AS dim,
+                         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+                  FROM sseeded, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       ssums AS (SELECT super0, dim, SUM(fx) AS sfx, COUNT(*) AS n FROM scomps GROUP BY 1, 2),
+       scent AS (SELECT super0 AS cell, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                 FROM ssums GROUP BY super0),
+       sranked AS (SELECT e.vec_id, c.cell,
+                          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${dotC("e", "c")} DESC, c.cell ASC) AS rn
+                   FROM emb e CROSS JOIN scent c),
+       sassign AS (SELECT vec_id, cell AS super FROM sranked WHERE rn = 1),
+       bseeded AS (SELECT e.vec_id, e.embedding, a.super, $loCell AS sub0
+                   FROM emb e JOIN sassign a USING (vec_id)),
+       bcomps AS (SELECT super, sub0, i - 1 AS dim,
+                         CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+                  FROM bseeded, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       bsums AS (SELECT super, sub0, dim, SUM(fx) AS sfx, COUNT(*) AS n FROM bcomps GROUP BY 1, 2, 3),
+       bcent AS (SELECT super, sub0 AS sub, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                 FROM bsums GROUP BY super, sub0),
+       branked AS (SELECT e.vec_id, e.super, c.sub,
+                          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${dotC("e", "c")} DESC, c.sub ASC) AS rn
+                   FROM bseeded e JOIN bcent c USING (super)),
+       assigned AS (SELECT vec_id, super * ${1 << loBits} + sub AS cell
+                    FROM branked WHERE rn = 1),
+       pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
+                 FROM assigned a JOIN assigned b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       scored AS (
+         SELECT id1, id2, cell,
+                list_reduce([CAST(e1.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(e1.embedding))],
+                            (acc, v) -> acc + v) AS cosine
+         FROM pairs JOIN emb e1 ON id1 = e1.vec_id
+                    JOIN emb e2 ON id2 = e2.vec_id)
+       SELECT id1, id2, cell, ROUND(cosine, 6) AS cos_r
+       FROM scored WHERE cosine >= 0.45 ORDER BY id1, id2"""
+  }
+
   private def semanticSql(cellBits: Int): String =
     s"""WITH ${ivfCteSql(cellBits)},
        pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell
@@ -797,11 +937,23 @@ object Similarity {
     * paid ONCE per vector's lifetime, here, never again at probe time.
     */
   def annIndexWrite(vecs: DataFrame, path: String,
-                    mode: String = "overwrite"): Unit = {
+                    mode: String = "overwrite",
+                    bitsPerTable: Int = graft.functions.Hyperplanes.bits,
+                    numTables: Int = graft.functions.Hyperplanes.tables): Unit = {
     graft.functions.VectorExpressions.register(vecs.sparkSession)
+    // Geometry discipline (VERDICT r8 item 4): an append into an index
+    // hashed with a DIFFERENT geometry would silently produce bucket ids
+    // that never collide with the resident rows — fail fast instead.
+    if (mode == "append") {
+      val existing = indexGeometry(vecs.sparkSession, path)
+        .getOrElse((graft.functions.Hyperplanes.bits, graft.functions.Hyperplanes.tables))
+      require(existing == ((bitsPerTable, numTables)),
+        s"append geometry ($numTables x $bitsPerTable) != index geometry $existing at $path")
+    }
     vecs
       .select(col("vec_id"), col("emb"), posexplode(
-        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)))
+        .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("emb"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
       // Compaction at write time (VERDICT r7 item 5): co-locate each
@@ -811,8 +963,27 @@ object Similarity {
       // 32-task small-file spray the previous layout produced.
       .repartition(col("tbl"), col("bucket"))
       .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+    // The geometry is PART OF THE INDEX (VERDICT r8 item 4): persisted as
+    // a one-row parquet under `_geometry` (underscore-prefixed → invisible
+    // to the main partitioned read, like _SUCCESS), so a probe hashes its
+    // batch with whatever geometry the index was built with instead of a
+    // compile-time constant. Written AFTER the main write because a
+    // static-mode partitionBy overwrite clears the root first.
+    vecs.sparkSession.range(1)
+      .select(lit(bitsPerTable).as("bits"), lit(numTables).as("tables"))
+      .write.mode("overwrite").parquet(s"$path/_geometry")
     Similarity.synchronized { builtIndexPaths += path }
   }
+
+  /** The persisted (bitsPerTable, numTables) of an index, if recorded.
+    * Indexes written before the geometry dial (or by an interrupted run)
+    * have none — callers treat that as the legacy 16×4 layout or rebuild.
+    */
+  def indexGeometry(s: SparkSession, path: String): Option[(Int, Int)] =
+    try {
+      val r = s.read.parquet(s"$path/_geometry").select(col("bits"), col("tables")).head()
+      Some((r.getInt(0), r.getInt(1)))
+    } catch { case _: Throwable => None }
 
   /** Index dirs created this JVM, removed by a shutdown hook — Bench and
     * Verify runs no longer accumulate stale `graft_ann_index_*` trees in
@@ -839,20 +1010,23 @@ object Similarity {
     * the separately-registered q144 maintenance entry, not inside every
     * timed probe (VERDICT r7 item 5).
     */
-  private def ensureQ140Index(s: SparkSession, dir: String): String = {
+  private def ensureQ140Index(s: SparkSession, dir: String,
+                              bitsPerTable: Int, numTables: Int): String = {
     val path = annIndexPath(dir)
     // _SUCCESS alone isn't enough: a complete index written by an OLDER
     // schema (id-only rows, before vectors moved into the bucket files)
+    // or an older GEOMETRY (pre-dial 16×4, or a different dial setting)
     // must be rebuilt, not probed — tmpdir survives a killed JVM whose
     // cleanup hook never ran.
     val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
       (try s.read.parquet(path).schema.fieldNames.contains("emb")
-       catch { case _: Throwable => false })
+       catch { case _: Throwable => false }) &&
+      indexGeometry(s, path).contains((bitsPerTable, numTables))
     if (!done) {
       val corpus = t(s, dir, "embeddings")
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
         .filter(col("vec_id") % 10 =!= 0)
-      annIndexWrite(corpus, path)
+      annIndexWrite(corpus, path, bitsPerTable = bitsPerTable, numTables = numTables)
     } else Similarity.synchronized { builtIndexPaths += path }
     path
   }
@@ -881,9 +1055,16 @@ object Similarity {
                     newVecs: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val index = s.read.parquet(indexPath)
+    // Hash the batch with the geometry THE INDEX RECORDS — not a
+    // compile-time constant (VERDICT r8 item 4): a probe hashed at a
+    // different (bits, tables) would silently miss every resident bucket.
+    // Indexes without a geometry record are the legacy 16×4 layout.
+    val (bitsPerTable, numTables) = indexGeometry(s, indexPath)
+      .getOrElse((graft.functions.Hyperplanes.bits, graft.functions.Hyperplanes.tables))
     val probeSigs = newVecs
       .select(col("vec_id"), posexplode(
-        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb"))).as(Seq("tbl", "bucket")))
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)))
+        .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
     broadcast(probeSigs.as("q"))
@@ -928,11 +1109,20 @@ object Similarity {
     * own registered maintenance entry (q144) so both sides of the
     * amortization stay measured (VERDICT r7 item 5).
     */
+  /** Registered index geometry: HELD-L 16 tables × 14 bits — the
+    * b ≈ log₂(n) posture of the 100×-ready decade (VERDICT r8 item 4:
+    * the hard-coded 16×4 layout was the densest geometry in the repo and
+    * the reason q140 sat in the dying family at sf10). The probe itself
+    * reads the geometry from the index's `_geometry` record, so this
+    * constant exists only on the BUILD side.
+    */
+  private val q140Geometry: (Int, Int) = (14, 16)
+
   def q140AnnIndexProbe(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val path = ensureQ140Index(s, dir)
+    val path = ensureQ140Index(s, dir, q140Geometry._1, q140Geometry._2)
     annIndexProbe(s, path, emb.filter(col("vec_id") % 10 === 0))
   }
 
@@ -954,7 +1144,7 @@ object Similarity {
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
       .filter(col("vec_id") % 10 =!= 0)
     val path = annIndexPath(dir)
-    annIndexWrite(corpus, path)
+    annIndexWrite(corpus, path, bitsPerTable = q140Geometry._1, numTables = q140Geometry._2)
     s.read.parquet(path)
       .groupBy(col("tbl"))
       .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_rows"))
@@ -962,8 +1152,9 @@ object Similarity {
   }
 
   def q144Sql: String = {
-    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
-    val nt = graft.functions.Hyperplanes.tables
+    val sig = graft.functions.Hyperplanes.duckBucketsSql(
+      "embedding", q140Geometry._1, q140Geometry._2)
+    val nt = q140Geometry._2
     s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings WHERE vec_id % 10 <> 0)
        SELECT CAST(t.i - 1 AS INT) AS tbl,
               COUNT(DISTINCT sig[t.i]) AS n_buckets,
@@ -979,8 +1170,9 @@ object Similarity {
     * index-consistency proof.
     */
   def q140Sql: String = {
-    val sig = graft.functions.Hyperplanes.duckBucketsSql("embedding")
-    val nt = graft.functions.Hyperplanes.tables
+    val sig = graft.functions.Hyperplanes.duckBucketsSql(
+      "embedding", q140Geometry._1, q140Geometry._2)
+    val nt = q140Geometry._2
     s"""WITH sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
        cands AS (
          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -1013,7 +1205,8 @@ object Similarity {
     "q111_semantic_dedup_scaled" -> (q111SemanticDedupScaled _),
     "q140_ann_index_probe" -> (q140AnnIndexProbe _),
     "q144_ann_index_build" -> (q144AnnIndexBuild _),
-    "q147_semantic_dedup_1k" -> (q147SemanticDedup1k _))
+    "q147_semantic_dedup_1k" -> (q147SemanticDedup1k _),
+    "q150_semantic_dedup_hier" -> (q150SemanticDedupHier _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1027,5 +1220,6 @@ object Similarity {
     "q111_semantic_dedup_scaled" -> q111Sql,
     "q140_ann_index_probe" -> q140Sql,
     "q144_ann_index_build" -> q144Sql,
-    "q147_semantic_dedup_1k" -> q147Sql)
+    "q147_semantic_dedup_1k" -> q147Sql,
+    "q150_semantic_dedup_hier" -> q150Sql)
 }

@@ -151,7 +151,7 @@ object TweetPipeline {
     checkpointDir.foreach(writer.option("checkpointLocation", _))
     val healthEnabled =
       spark.conf.getOption("graft.stream.health.enabled").forall(_.toBoolean)
-    if (healthEnabled) {
+    val healthListener = if (!healthEnabled) None else {
       val path = spark.conf.getOption("graft.stream.health.path")
         .getOrElse(resultPath + ".health.jsonl")
       val inner = StreamHealth.listener(path)
@@ -166,8 +166,21 @@ object TweetPipeline {
           if (runId != null && e.runId == runId) spark.streams.removeListener(this)
       }
       spark.streams.addListener(scoped)
+      Some(scoped)
     }
-    writer
+    // ADVICE r8: if start() throws (bad checkpoint, sink error) the scoped
+    // listener would never see a termination for its query and would stay
+    // on spark.streams for the session's lifetime — repeated run() calls
+    // would accumulate leaked listeners. Remove it on the failure path and
+    // rethrow; a successful start hands cleanup to onQueryTerminated.
+    def startOrCleanup(
+        w: org.apache.spark.sql.streaming.DataStreamWriter[_]): org.apache.spark.sql.streaming.StreamingQuery =
+      try w.start()
+      catch { case e: Throwable =>
+        healthListener.foreach(spark.streams.removeListener)
+        throw e
+      }
+    startOrCleanup(writer
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (outputMode == "complete") {
           // Publish the TRAILING full-length window of the current state.
@@ -196,7 +209,7 @@ object TweetPipeline {
           }
         }
       }
-      .start()
+    )
   }
 }
 

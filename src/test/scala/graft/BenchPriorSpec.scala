@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench.loadPrior's prior-line recovery (ADVICE r8): a capture file
+  * can hold MORE than one bench line, and the loader must never pair one
+  * line's anchor with another's timings — and must surface the prior's
+  * "sf" so main can skip adjudication across scale factors.
+  */
+class BenchPriorSpec extends AnyFunSuite {
+
+  private def write(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("bench-prior", ".json")
+    java.nio.file.Files.writeString(f, content)
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private val line1 =
+    """{"metric":"total","unit":"sec","audit":[],"anchors":[0.2],""" +
+      """"queries":{"q1":1.00,"q2":2.00},"value":3.0,"anchor":0.2,"sf":"/root/testdata/sf0.1"}"""
+  private val line2 =
+    """{"metric":"total","unit":"sec","audit":[],"anchors":[0.1],""" +
+      """"queries":{"q1":0.50},"value":0.5,"anchor":0.1,"sf":"/tmp/sf1"}"""
+
+  test("single complete line parses with anchor, queries, and sf") {
+    val (anchor, qs, sf) = Bench.loadPrior(write(line1)).get
+    assert(anchor == 0.2)
+    assert(qs == Map("q1" -> 1.0, "q2" -> 2.0))
+    assert(sf.contains("/root/testdata/sf0.1"))
+  }
+
+  test("multi-line file: the LAST complete line wins — no cross-line anchor/query mixing") {
+    val (anchor, qs, sf) = Bench.loadPrior(write(line1 + "\n" + line2 + "\n")).get
+    assert(anchor == 0.1, "anchor must come from the last line, not the first")
+    assert(qs == Map("q1" -> 0.5), "queries must not merge across lines")
+    assert(sf.contains("/tmp/sf1"))
+  }
+
+  test("head-truncated fragment recovers tail scalars, scoped to the last line") {
+    // The driver's bounded stdout capture keeps the TAIL: the first line
+    // survives only as its trailing scalars, the second is intact but the
+    // file as a whole is not a single JSON document.
+    val frag = """:7.00},"value":9.0,"anchor":0.9,"sf":"/root/testdata/sf0.1"}""" +
+      "\n" + line2
+    val (anchor, qs, sf) = Bench.loadPrior(write(frag)).get
+    assert(anchor == 0.1 && qs == Map("q1" -> 0.5) && sf.contains("/tmp/sf1"))
+  }
+
+  test("fragment with no complete line still adjudicates from regex recovery") {
+    val frag = ""","q7":7.00,"q8":8.00},"value":15.0,"anchor":0.33,"sf":"/tmp/sf10"}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(frag)).get
+    assert(anchor == 0.33)
+    assert(qs == Map("q7" -> 7.0, "q8" -> 8.0))
+    assert(sf.contains("/tmp/sf10"))
+  }
+
+  test("driver {\"tail\": ...} wrapper is unwrapped before parsing") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val wrapped = s"""{"tail": ${om.writeValueAsString(line2)}}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(wrapped)).get
+    assert(anchor == 0.1 && qs == Map("q1" -> 0.5) && sf.contains("/tmp/sf1"))
+  }
+
+  test("missing file or no recoverable anchor yields None, not a throw") {
+    assert(Bench.loadPrior("/nonexistent/bench.json").isEmpty)
+    assert(Bench.loadPrior(write("""{"queries-less":"noise"}""")).isEmpty)
+  }
+}

@@ -410,4 +410,59 @@ class DedupSpec extends SparkSpec {
     assert(f1.histogram.sum == r.payload.length)
     assert(f1.n_bytes == 11L)
   }
+
+  test("held-L dial: explicit legacy table count is bucket-identical; wider L extends as a prefix") {
+    // The parameterized plane budget (VERDICT r8 item 1) must leave every
+    // existing geometry untouched: planesAll's 64-plane prefix is the
+    // legacy pool, and table t of ANY L draws planes [t*b, (t+1)*b) — so
+    // graft_lsh_buckets(e, 11) == graft_lsh_buckets(e, 11, 5), and the
+    // 16-table form extends it with tables 5..15, never rehashing 0..4.
+    graft.functions.VectorExpressions.register(spark)
+    val H = graft.functions.Hyperplanes
+    val rows = graft.sources.Tables.t(spark, sfDir, "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .select(
+        expr(H.sparkBucketsExpr("emb", 11)).as("legacy"),
+        expr(H.sparkBucketsExpr("emb", 11, 5)).as("explicit5"),
+        expr(H.sparkBucketsExpr("emb", 11, 16)).as("wide"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val legacy = r.getSeq[Int](0)
+      assert(legacy.size == 5)
+      assert(legacy == r.getSeq[Int](1),
+        "explicit numTables=⌊64/b⌋ must equal the 2-arg legacy form")
+      val wide = r.getSeq[Int](2)
+      assert(wide.size == 16)
+      assert(wide.take(5) == legacy,
+        "held-L tables must extend the legacy pool as a prefix")
+    }
+  }
+
+  test("planted-survivor fixture: high-bit postures return the clone pairs at EVERY SF") {
+    // VERDICT r8 item 2: q143/q146 hash-matched on 0 rows at the verify
+    // SF — a silently-emptied candidate path would have passed. The
+    // planted exact clones (vec_id<3 → +10M) hash into the same bucket in
+    // every table at any geometry, so each posture must now emit them —
+    // at the SPEC SF (sf0.001, 50 vectors), not just sf0.1.
+    graft.functions.VectorExpressions.register(spark)
+    val planted = Set((0L, 10000000L), (1L, 10000001L), (2L, 10000002L))
+    val postures = Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("q143", ops.Dedup.q143EmbeddingNeardupR11 _),
+      ("q146", ops.Dedup.q146EmbeddingNeardupR14 _),
+      ("q148", ops.Dedup.q148EmbeddingNeardupWide11 _),
+      ("q149", ops.Dedup.q149EmbeddingNeardupWide14 _),
+      ("q151", ops.Dedup.q151EmbeddingNeardupWide14Mp _),
+      ("q152", ops.Dedup.q152EmbeddingNeardupRecall _))
+    postures.foreach { case (name, q) =>
+      val got = q(spark, sfDir).select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(planted.subsetOf(got),
+        s"$name lost planted clone pairs: ${planted -- got}")
+    }
+    // And the hierarchical IVF (exact clones follow their original
+    // through BOTH assignment levels — identical seed cells and dots).
+    val hier = ops.Similarity.q150SemanticDedupHier(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(planted.subsetOf(hier), s"q150 lost planted clone pairs: ${planted -- hier}")
+  }
 }

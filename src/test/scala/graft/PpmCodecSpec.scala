@@ -118,4 +118,16 @@ class PpmCodecSpec extends SparkSpec {
       assert(q142(r.doc_id) == ((re.sum_r, re.sum_g, re.sum_b)))
     }
   }
+
+  test("raster byte mapping is per CODEPOINT, not UTF-16 code unit (ADVICE r8)") {
+    // U+1D11E (musical G clef) is ONE codepoint to DuckDB's
+    // length/substring/ascii but TWO surrogate code units to charAt; the
+    // raster source must follow the codepoint view so the q141/q142
+    // oracle parity holds beyond the BMP. 0x1D11E & 0x7f = 0x1E.
+    assert(ops.Multimodal.rasterBytes("𝄞").toSeq == Seq(0x1e.toByte))
+    // BMP text unchanged: 'A' -> 0x41, 'é' (U+00E9) -> 0x69.
+    assert(ops.Multimodal.rasterBytes("Aé").toSeq == Seq(0x41.toByte, 0x69.toByte))
+    // Empty text substitutes a single space (the oracle's len=0 arm).
+    assert(ops.Multimodal.rasterBytes("").toSeq == Seq(' '.toByte))
+  }
 }

@@ -59,7 +59,10 @@ class SqlFrontendSpec extends SparkSpec {
     "q140_ann_index_probe", "q141_ppm_decode", "q142_ppm_resize",
     "q143_embedding_neardup_r11", "q144_ann_index_build",
     "q145_consensus_dedup_r11", "q146_embedding_neardup_r14",
-    "q147_semantic_dedup_1k")
+    "q147_semantic_dedup_1k",
+    "q148_embedding_neardup_wide11", "q149_embedding_neardup_wide14",
+    "q150_semantic_dedup_hier", "q151_embedding_neardup_wide14_mp",
+    "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted

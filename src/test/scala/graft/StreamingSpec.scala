@@ -447,4 +447,22 @@ class StreamingSpec extends SparkSpec {
       assert(content.contains(""""datetime":"""))
     } finally q.stop()
   }
+
+  test("run() removes its health listener when start() throws (no leak across failed runs)") {
+    // ADVICE r8: the scoped listener only self-removes on termination of a
+    // run it saw start; a start() failure (bad checkpoint scheme here)
+    // would otherwise leave it on spark.streams forever, and repeated
+    // run() calls would accumulate leaked listeners.
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val dir = java.nio.file.Files.createTempDirectory("fail_start")
+    val before = spark.streams.listListeners().length
+    intercept[Exception] {
+      TweetPipeline.run(spark, in.toDF().toDF("value", "ts"),
+        dir.resolve("analytic.json").toString,
+        checkpointDir = Some("nosuchfs://invalid/checkpoint"))
+    }
+    assert(spark.streams.listListeners().length == before,
+      "failed start() leaked the scoped StreamHealth listener")
+  }
 }

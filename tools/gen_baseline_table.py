@@ -27,14 +27,21 @@ def main():
     p10 = load_line(f"{probe_dir}/bench_sf10.json")
     audit = set(full.get("audit", []))
 
-    def speed(line):
+    def speed(line, name="line"):
         # A line's machine-speed estimate: the FASTEST anchor observed in
         # that run. The headline "anchor" is measured at suite start on a
         # cold JVM and routinely reads 2-3x the flat mid-suite series
         # (r8 probe legs: headline 0.385 vs mid-suite 0.109) — consistent
         # with per-query min-of-3, the min anchor is the least-loaded
-        # sample of the same instrument.
-        return min([line["anchor"]] + list(line.get("anchors", [])))
+        # sample of the same instrument. A reconstructed fragment can have
+        # lost both "anchor" and the "anchors" series — fail with a named
+        # message instead of a bare KeyError (ADVICE r8).
+        anchors = ([line["anchor"]] if "anchor" in line else []) \
+            + list(line.get("anchors", []))
+        if not anchors:
+            sys.exit(f"no anchor recovered from fragment {name} — "
+                     "anchor-normalized ratios are impossible; re-run that leg")
+        return min(anchors)
 
     def norm_ratio(base, other):
         # anchor-normalize: seconds scale with machine speed; divide each
@@ -48,19 +55,27 @@ def main():
 
     r1 = norm_ratio(p01, p1)
     r10 = norm_ratio(p01, p10)
+    # Keys merge_probe_line.py rescaled in from a DIFFERENT boot — marked
+    # so the table never presents them as same-boot measurements (ADVICE
+    # r8). The mark applies to the leg the key was merged into.
+    merged1 = set(p1.get("merged", []))
+    merged10 = set(p10.get("merged", []))
 
     print("| query | sf0.1 s | sf1 ratio (10x) | sf10 ratio (100x) | posture |")
     print("|---|---|---|---|---|")
     for q in sorted(full["queries"], key=lambda x: (len(x), x)):
         sec = full["queries"][q]
         posture = "audit baseline" if q in audit else "production"
-        c1 = f"{r1[q]:.1f}x" if q in r1 else "—"
-        c10 = f"{r10[q]:.1f}x" if q in r10 else "—"
+        c1 = (f"{r1[q]:.1f}x" + ("†" if q in merged1 else "")) if q in r1 else "—"
+        c10 = (f"{r10[q]:.1f}x" + ("†" if q in merged10 else "")) if q in r10 else "—"
         print(f"| {q} | {sec:.2f} | {c1} | {c10} | {posture} |")
     print()
-    print(f"(full-suite anchor {speed(full):.3f}; probe anchors "
-          f"sf0.1 {speed(p01):.3f} / sf1 {speed(p1):.3f} / "
-          f"sf10 {speed(p10):.3f}, same boot)")
+    print(f"(full-suite anchor {speed(full, 'full'):.3f}; probe anchors "
+          f"sf0.1 {speed(p01, 'sf01'):.3f} / sf1 {speed(p1, 'sf1'):.3f} / "
+          f"sf10 {speed(p10, 'sf10'):.3f}, same boot)")
+    if merged1 or merged10:
+        print("(† = merged from a separate boot by merge_probe_line.py, "
+              "anchor-rescaled — not a same-boot measurement)")
 
 
 if __name__ == "__main__":

@@ -17,22 +17,30 @@ mkdir -p "$OUT"
 # index build — VERDICT r7 items 2 and 7). SPARK_GRAFT_PRIOR=none: the
 # probe subset must not trigger self-adjudication against a full-suite
 # prior line.
-QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145"
+QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145,q148,q149,q150,q151,q152,q153"
 # sf10 exclusions — every 8-bit-geometry formulation, after the round-8
 # leg MEASURED the knee as a hard failure, not a slowdown: q101's
 # candidate sort at sf10 spilled past the machine's ~80 GB of free disk
 # (SparkOutOfMemoryError: SPILL_OUT_OF_MEMORY / No space left on device,
 # stage 38, 2026-08-14) — ~5.6e9 same-bucket pairs at 600k vectors x
 # 8 tables / 2^8 buckets, exactly the n^2*L/2^b arithmetic. q137 embeds
-# the same 8-bit subplan; q102 multiplies it by the probe set; q140's
-# 8-bit index probe is ~2e9 raw candidates. The sf10 leg therefore runs
-# the STEPPED postures (q143/q145) plus everything sublinear — which is
-# the registered 100x doctrine, now backed by a measured failure instead
-# of an extrapolated slowdown.
+# the same 8-bit subplan; q102 multiplies it by the probe set. The same
+# arithmetic excludes the round-9 RECALL-GRADE held-L postures: q152
+# (32 tables x 11 bits, Hamming<=1 probes) is ~1.8e11 x 12*32/2048 ~
+# 3.4e10 candidates at sf10 — q101's death x6 — and q151 (16x14 +
+# probes) ~2.6e9 x ~24B sits at the spill-disk boundary; both are
+# measured at sf1 instead, which is their decade (the registered sf10
+# posture of the family is q149/q153). q140 REJOINS the sf10 leg this
+# round: its index geometry moved from the dying 16x4 to 16x14
+# (VERDICT r8 item 4), dropping probe candidates ~2^10. The sf10 leg
+# therefore runs the STEPPED postures plus everything sublinear — the
+# registered 100x doctrine, backed by measured failures not
+# extrapolated slowdowns.
 SF10_QUERIES="${QUERIES/q102,/}"
-SF10_QUERIES="${SF10_QUERIES/q140,/}"
 SF10_QUERIES="${SF10_QUERIES/q101,/}"
 SF10_QUERIES="${SF10_QUERIES/q137,/}"
+SF10_QUERIES="${SF10_QUERIES/q151,/}"
+SF10_QUERIES="${SF10_QUERIES/q152,/}"
 for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
   qs="$QUERIES"; [ "$sf" = "$SF10" ] && qs="$SF10_QUERIES"
