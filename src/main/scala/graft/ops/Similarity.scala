@@ -950,19 +950,32 @@ object Similarity {
       require(existing == ((bitsPerTable, numTables)),
         s"append geometry ($numTables x $bitsPerTable) != index geometry $existing at $path")
     }
+    val grpBits = indexGrpBits(bitsPerTable)
     vecs
       .select(col("vec_id"), col("emb"), posexplode(
         expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)))
         .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("emb"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
+      // Directory layer = (tbl, bucket GROUP), not (tbl, bucket): with the
+      // geometry dial live, a dir per full bucket means tables × 2^bits
+      // directories — measured at 16×14 bits as a ~32k-tiny-file tree
+      // that took the sf0.1 build from 9 s to 157 s and the probe to 95 s
+      // (file listing + one scan task per file dominate everything). The
+      // low-order grpBits of the bucket give a BOUNDED fan-out
+      // (tables × 2^grpBits dirs) whatever the geometry; the full bucket
+      // stays a data column, sorted within each file so parquet row-group
+      // min/max stats carry the residual selectivity.
+      .withColumn("bgrp", col("bucket").bitwiseAND(lit((1 << grpBits) - 1)))
       // Compaction at write time (VERDICT r7 item 5): co-locate each
-      // (tbl, bucket) partition's rows in one task before the
-      // partitionBy write, so every bucket directory receives exactly one
-      // file per write instead of one per upstream task — the 256-way ×
-      // 32-task small-file spray the previous layout produced.
-      .repartition(col("tbl"), col("bucket"))
-      .write.mode(mode).partitionBy("tbl", "bucket").parquet(path)
+      // (tbl, bgrp) partition's rows in one task before the partitionBy
+      // write, so every group directory receives exactly one file per
+      // write instead of one per upstream task; the sort makes the
+      // dynamic-partition writer see groups contiguously (one open file
+      // at a time) and lays buckets out in sorted runs.
+      .repartition(col("tbl"), col("bgrp"))
+      .sortWithinPartitions(col("tbl"), col("bgrp"), col("bucket"))
+      .write.mode(mode).partitionBy("tbl", "bgrp").parquet(path)
     // The geometry is PART OF THE INDEX (VERDICT r8 item 4): persisted as
     // a one-row parquet under `_geometry` (underscore-prefixed → invisible
     // to the main partitioned read, like _SUCCESS), so a probe hashes its
@@ -974,6 +987,23 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/_geometry")
     Similarity.synchronized { builtIndexPaths += path }
   }
+
+  /** Bucket-group directory fan-out for a geometry: 2^grpBits dirs per
+    * table, capped so the bits dial can't explode the directory tree.
+    * 4 keeps the tree at ≤ 16 × 16 = 256 dirs for every registered
+    * geometry — measured at sf0.1: the 64-group layout (1024 dirs) still
+    * paid ~7 s of listing + per-file task launch on the probe, 16 groups
+    * brought it to 1.25 s (and the 16×14 build from 157 s to 2.9 s vs
+    * full-bucket dirs). Partition pruning keeps a 16× cut per table for
+    * small nightly batches; the full bucket stays a SORTED data column,
+    * so row-group min/max stats carry the rest of the selectivity. At
+    * corpus scales where a group dir outgrows one write task (100 TB
+    * arithmetic: 9.6G index rows / 256 ≈ 37M rows/dir), step THIS dial
+    * with log₂(corpus) like the bits dial — it is a pure layout
+    * parameter, derived from the persisted geometry, so old indexes stay
+    * readable.
+    */
+  private[graft] def indexGrpBits(bitsPerTable: Int): Int = math.min(bitsPerTable, 4)
 
   /** The persisted (bitsPerTable, numTables) of an index, if recorded.
     * Indexes written before the geometry dial (or by an interrupted run)
@@ -1018,9 +1048,13 @@ object Similarity {
     // or an older GEOMETRY (pre-dial 16×4, or a different dial setting)
     // must be rebuilt, not probed — tmpdir survives a killed JVM whose
     // cleanup hook never ran.
+    // bgrp: the bucket-group layout marker — a stale full-bucket
+    // partitioned tree (pre-group-layer) must also rebuild.
     val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
-      (try s.read.parquet(path).schema.fieldNames.contains("emb")
-       catch { case _: Throwable => false }) &&
+      (try {
+        val fields = s.read.parquet(path).schema.fieldNames
+        fields.contains("emb") && fields.contains("bgrp")
+      } catch { case _: Throwable => false }) &&
       indexGeometry(s, path).contains((bitsPerTable, numTables))
     if (!done) {
       val corpus = t(s, dir, "embeddings")
@@ -1067,9 +1101,15 @@ object Similarity {
         .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
         col("bucket").cast("int").as("bucket"))
+      // The directory key (see annIndexWrite's group layer): joining on
+      // it too lets dynamic partition pruning skip group dirs the batch
+      // never hashes into — the win for genuinely small nightly batches.
+      .withColumn("bgrp", col("bucket")
+        .bitwiseAND(lit((1 << indexGrpBits(bitsPerTable)) - 1)))
     broadcast(probeSigs.as("q"))
       .join(index.as("n"),
-        col("q.tbl") === col("n.tbl") && col("q.bucket") === col("n.bucket") &&
+        col("q.tbl") === col("n.tbl") && col("q.bgrp") === col("n.bgrp") &&
+          col("q.bucket") === col("n.bucket") &&
           col("q.vec_id") =!= col("n.vec_id"))
       .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
         col("n.emb").as("n_emb"))
