@@ -21,7 +21,20 @@ def load(path):
             txt = wrapper["tail"]  # driver wrapper: bench line inside, unescaped by the parse
     except json.JSONDecodeError:
         pass
-    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"\}', txt)
+    # Prefer a full JSON parse of the LAST complete bench line (the same
+    # policy as Bench.loadPrior): a line rewritten by merge_probe_line.py
+    # carries fields AFTER "sf" ("merged":[...]), which a regex pinned to
+    # '"sf":"..."}' silently rejects — that demoted a complete 155-query
+    # line to the fragment path, dropping its "audit" array.
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        start = line.find('{"metric":"total"')
+        if start >= 0:
+            try:
+                return json.loads(line[start:])
+            except json.JSONDecodeError:
+                pass
+    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"(?:,"merged":\[[^\]]*\])?\}', txt)
     if m:
         return json.loads(m[-1])
     # HEAD-TRUNCATED fragment (the r07 failure: the driver's bounded
@@ -35,6 +48,13 @@ def load(path):
     if not queries:
         raise SystemExit(f"{path}: no bench line found")
     out = {"queries": queries, "_fragment": True}
+    # Bare-string arrays ("audit", "merged") survive truncation often
+    # enough to be worth recovering — losing "audit" silently relabels
+    # ground-truth baselines as production postures downstream.
+    for key in ("audit", "merged"):
+        km = re.search(f'"{key}":\\[([^\\]]*)\\]', txt)
+        if km and km.group(1).strip():
+            out[key] = [x.strip().strip('"') for x in km.group(1).split(",")]
     for key in ("value", "anchor"):
         sm = re.search(f'"{key}":' + num, txt)
         if sm:

@@ -60,6 +60,7 @@ def main():
     # r8). The mark applies to the leg the key was merged into.
     merged1 = set(p1.get("merged", []))
     merged10 = set(p10.get("merged", []))
+    merged_full = set(full.get("merged", []))
 
     print("| query | sf0.1 s | sf1 ratio (10x) | sf10 ratio (100x) | posture |")
     print("|---|---|---|---|---|")
@@ -68,12 +69,13 @@ def main():
         posture = "audit baseline" if q in audit else "production"
         c1 = (f"{r1[q]:.1f}x" + ("†" if q in merged1 else "")) if q in r1 else "—"
         c10 = (f"{r10[q]:.1f}x" + ("†" if q in merged10 else "")) if q in r10 else "—"
-        print(f"| {q} | {sec:.2f} | {c1} | {c10} | {posture} |")
+        c0 = f"{sec:.2f}" + ("†" if q in merged_full else "")
+        print(f"| {q} | {c0} | {c1} | {c10} | {posture} |")
     print()
     print(f"(full-suite anchor {speed(full, 'full'):.3f}; probe anchors "
           f"sf0.1 {speed(p01, 'sf01'):.3f} / sf1 {speed(p1, 'sf1'):.3f} / "
           f"sf10 {speed(p10, 'sf10'):.3f}, same boot)")
-    if merged1 or merged10:
+    if merged1 or merged10 or merged_full:
         print("(† = merged from a separate boot by merge_probe_line.py, "
               "anchor-rescaled — not a same-boot measurement)")
 
