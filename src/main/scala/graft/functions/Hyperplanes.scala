@@ -161,6 +161,48 @@ object Hyperplanes {
            (acc, v) -> acc + v) > 0 THEN ${1 << (cellBits - 1 - b)} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
+  /** Product-quantization sub-planes (q154): plane rows
+    * [pqPlaneStart, pqPlaneStart + pqBits) of the seed-7 pool, each SLICED
+    * across the `pqM` subspaces — subplane(m, b) = row(pqPlaneStart + b)
+    * components [m·subDim, (m+1)·subDim). Rows 448–451 are disjoint from
+    * every registered LSH geometry (the widest, q152's 32×11, ends at row
+    * 351), so the PQ seed partition shares the pool without entangling
+    * any bucket family.
+    */
+  val pqPlaneStart = 448
+  val pqM = 8
+  val pqBits = 4
+  val pqSubDim: Int = dim / pqM
+
+  private def pqSubPlane(m: Int, b: Int): Array[Double] =
+    planesAll(pqPlaneStart + b).slice(m * pqSubDim, (m + 1) * pqSubDim)
+
+  /** Spark SQL: the pqBits-bit seed cell of subspace `mCol` for `sub` (an
+    * array<double> column of pqSubDim components). The plane is selected
+    * from a 2-D literal indexed by the m COLUMN (0-based in Spark), so one
+    * expression serves all 8 subspaces after the posexplode.
+    */
+  def sparkSubCellExpr(sub: String, mCol: String): String =
+    (0 until pqBits).map { b =>
+      val rows = (0 until pqM)
+        .map(m => planeArraySql(pqSubPlane(m, b), "array(", ")"))
+        .mkString("array(", ",", ")")
+      s"(CASE WHEN graft_dot($sub, $rows[$mCol]) > 0D THEN ${1 << (pqBits - 1 - b)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB replica of [[sparkSubCellExpr]] — identical sliced-plane
+    * literals (1-based list indexing, hence `mCol + 1`), identical fold.
+    */
+  def duckSubCellSql(sub: String, mCol: String): String =
+    (0 until pqBits).map { b =>
+      val rows = (0 until pqM)
+        .map(m => planeArraySql(pqSubPlane(m, b), "[", "]"))
+        .mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(
+           [CAST($sub[i] AS DOUBLE) * (($rows)[$mCol + 1])[i] FOR i IN generate_series(1, $pqSubDim)],
+           (acc, v) -> acc + v) > 0 THEN ${1 << (pqBits - 1 - b)} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
   /** DuckDB SQL: the identical bucket-id list for `emb`, a FLOAT[] column
     * reference. list_reduce's fold (first element as init, ascending) is
     * bit-identical to graft_dot's 0.0-init ascending fold because

@@ -282,8 +282,8 @@ object Similarity {
     * ranking; assignment-only consumers (q107/q111) should aggregate
     * [[ivfScored]] directly instead of sorting n·2^cellBits rows.
     */
-  private[ops] def ivfRanked(s: SparkSession, dir: String,
-                             cellBits: Int = 4): (DataFrame, DataFrame) = {
+  private[graft] def ivfRanked(s: SparkSession, dir: String,
+                               cellBits: Int = 4): (DataFrame, DataFrame) = {
     val (emb, scored) = ivfScored(s, dir, cellBits)
     (emb, scored.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
@@ -1233,6 +1233,314 @@ object Similarity {
        WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  /** q154 — product-quantization ANN with ADC (asymmetric distance
+    * computation): the memory-bound corpus layout a 100 TB vector store
+    * actually serves from, and the one quantization family the repo did
+    * not yet carry (q87's int8 codes are 1 byte/DIM — 64 B/vector; PQ is
+    * 4 bits/SUBSPACE — 4 B/vector, a 16× further compression, at the cost
+    * of a trained codebook).
+    *
+    * Training is the repo's deterministic one-Lloyd-step recipe
+    * (q58/q107/q150 lineage), applied per subspace: the 64-dim embedding
+    * splits into M=8 subvectors of 8 dims; subspace m's 16-cell seed
+    * partition is the 4 sign bits of the [[graft.functions.Hyperplanes]]
+    * PQ sub-planes (pool rows 448–451 sliced to the subspace's dims —
+    * disjoint from every LSH geometry); cell centroids are fixed-point
+    * integer means (order-independent, bit-identical under any
+    * partitioning and in DuckDB); each subvector is then assigned to its
+    * max-dot centroid (tie → lowest cell) — one exact Lloyd step from a
+    * deterministic initialization, zero training loop, fully
+    * oracle-checkable.
+    *
+    * Serving shape (what scales): the corpus is represented ONLY by its
+    * code array — 8 nibbles/vector. Each probe precomputes a 128-entry
+    * lookup table LUT[m·16+k] = dot(q_sub_m, centroid_{m,k}) (the ADC
+    * trick: the approximate score of ANY corpus vector is then 8 array
+    * lookups + 7 adds, no float vector touched), the 20 LUTs broadcast,
+    * and the scan is one codegen'd fold over the broadcast LUT per
+    * (query, vector) — linear, shuffle-free until the per-query
+    * shortlist window. Only the 32-deep shortlist per query reads float vectors
+    * again for the exact rerank (q87's serving discipline). At 100 TB:
+    * codes live hot (4 GB per billion vectors), floats stay cold on
+    * parquet, LUT size is queries×1 KB — the standard IVF-PQ serving
+    * stack minus the IVF routing, which q58/q150 already provide and
+    * composes by restricting the scan to probed cells.
+    *
+    * ADC fidelity is audited in-row: `adc_r` (the quantized score that
+    * RANKED the shortlist) is emitted next to `cos_r` (the exact rerank
+    * score), so the oracle hash pins the full approximate pipeline — LUT
+    * folds, code assignment, shortlist membership — not just the final
+    * ids. PqSpec additionally pins ADC == dot(query, decode(codes)) and
+    * the recall floor vs the q55 exact baseline.
+    */
+  /** The PQ model of q154, exposed for PqSpec: `(cents, codes)` where
+    * cents = (m, cell, centroid array<double>) — the per-subspace
+    * codebook — and codes = (vec_id, codes array<int>) — each corpus
+    * vector's M nibbles. Deterministic (seed partition + integer-mean
+    * centroids + tie-to-lowest assignment), so the spec can decode and
+    * recompute ADC independently of the serving path.
+    */
+  private[graft] def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    // Subvectors: one row per (vector, subspace), sub = 8-dim slice.
+    val subs = emb.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
+        .as(Seq("m", "sub")))
+    // Seed partition + fixed-point centroids (the q58 integer-mean trick,
+    // per (subspace, cell) instead of per cell).
+    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m")))
+    val cents = seeded
+      .select(col("m"), col("cell0"), posexplode(
+        expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
+      .groupBy(col("m"), col("cell0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("cell0"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+      .select(col("m"), col("cell0").as("cell"), col("centroid"))
+    // Encode: one Lloyd step — max-dot centroid per (vector, subspace),
+    // tie to the lowest cell. max_by on (score, -cell) is a single
+    // partial-aggregated pass (no n·M·K window shuffle); the K=16
+    // centroids broadcast.
+    val codes = subs.join(broadcast(cents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cell"),
+        expr("graft_dot(sub, centroid)").as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+    (cents, codes)
+  }
+
+  def q154AnnPqAdc(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val W = org.apache.spark.sql.expressions.Window
+    val M = H.pqM
+    val K = 1 << H.pqBits
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val (cents, codes) = pqModel(s, dir)
+    val lut = pqLutDf(emb, cents)
+    // ADC scan: 8 lookups + 7 adds per (query, vector) against the
+    // broadcast LUTs — the corpus side streams its 4-byte codes once.
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
+    pqAdcRerank(emb, adc)
+  }
+
+  /** Per-probe ADC lookup tables for the PQ codebook `cents`:
+    * LUT[m·K + k] = dot(q_sub_m, c_{m,k}) — one 128-double array per
+    * probe, ordered (m, cell) ascending so the serving fold indexes it
+    * directly.
+    */
+  private def pqLutDf(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"),
+        posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
+          .as(Seq("m", "qsub")))
+      .join(broadcast(cents), Seq("m"))
+      .select(col("query_id"), col("m"), col("cell"),
+        expr("graft_dot(qsub, centroid)").as("lv"))
+      .groupBy(col("query_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, cell, lv))), e -> e.lv)").as("lut"))
+  }
+
+  /** The PQ serving tail shared by q154/q155: 32-deep per-query ADC
+    * shortlist (rerank depth ≈ 6×k — the float-vector reads stay bounded
+    * at queries×32 rows while the 4-bit codes' ranking noise is absorbed;
+    * measured recall vs the exact q55 top-5 at sf0.001: 0.27 at depth 10
+    * → 0.47 at depth 32), then the exact top-5 rerank, with the adc score
+    * that ranked the shortlist emitted next to the exact cosine.
+    */
+  private def pqAdcRerank(emb: DataFrame, adc: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val short = adc
+      .withColumn("srn", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)))
+      .filter(col("srn") <= 32)
+    short
+      .join(emb.as("ne"), col("neighbor_id") === col("ne.vec_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 20).as("qe")), col("query_id") === col("qe.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        expr("graft_dot(qe.emb, ne.emb)").as("cosine"))
+      .withColumn("rank", row_number().over(
+        W.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cos_r"), round(col("adc"), 6).as("adc_r"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q155 — IVF-PQ: the composition the q154 scaladoc names, and the
+    * standard serving stack of every billion-scale vector store (FAISS
+    * IVFPQ, SCANN's tree-AH): the IVF coarse quantizer (q58's
+    * deterministic 16-cell Lloyd step) ROUTES each probe to its nProbe=4
+    * nearest cells, and the PQ-ADC scan (q154's broadcast LUTs over
+    * 4-byte nibble codes) scores ONLY the routed cells' vectors — the
+    * full-corpus linear ADC scan of q154 drops to ~nProbe/k of the
+    * corpus with no new shuffle: the corpus keeps its one (cell, codes)
+    * row per vector, probe cells broadcast, LUTs broadcast, and the
+    * only exchange is the per-query shortlist window on narrow
+    * (query_id, neighbor_id, adc) triples.
+    *
+    * At 100 TB this is the layout that serves: cells partition the code
+    * table (so a probe prunes partitions, the q140 index discipline),
+    * codes are 4 B/vector hot data, floats stay cold for the 32-deep
+    * rerank. Everything is deterministic — seed cells, integer-mean
+    * centroids, tie-to-lowest assignments on both quantizers — so DuckDB
+    * replays the entire approximate pipeline bit-identically.
+    */
+  def q155AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val K = 1 << H.pqBits
+    val nProbe = 4
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val (_, ranked) = ivfRanked(s, dir)
+    val (cents, codes) = pqModel(s, dir)
+    // Corpus row: (vec_id, codes, cell) — the persisted IVF-PQ layout.
+    val corpus = codes.join(
+      ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell")), "vec_id")
+    val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val lut = pqLutDf(emb, cents)
+    // Routed ADC scan: the broadcast probe-cell list prunes the corpus
+    // to ~nProbe/k before any scoring; a (query, vector) pair appears at
+    // most once (one cell per vector, distinct cells per probe).
+    val adc = corpus.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(lut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
+    pqAdcRerank(emb, adc)
+  }
+
+  /** DuckDB replica of q154: identical sliced sub-planes (shared
+    * literals), identical fixed-point centroids per (subspace, cell),
+    * identical max-dot/lowest-cell assignment (ROW_NUMBER with the same
+    * ordering), identical LUT fold and m-ascending ADC fold, identical
+    * 32-deep shortlist and exact top-5 rerank.
+    */
+  /** PQ CTE prefix shared by q154Sql/q155Sql: subvectors → seed cells →
+    * fixed-point sub-centroids → argmax codes → per-probe LUTs. Ends at
+    * `lut` (query_id, 128-double list ordered (m, cell)).
+    */
+  private def pqCteSql: String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val sd = H.pqSubDim
+    val cell0 = H.duckSubCellSql("sub", "m")
+    s"""subs AS (
+         SELECT vec_id, m, embedding[m * $sd + 1 : m * $sd + $sd] AS sub
+         FROM embeddings, generate_series(0, ${M - 1}) AS t(m)),
+       seeded AS (SELECT vec_id, m, sub, $cell0 AS cell0 FROM subs),
+       comps AS (SELECT m, cell0, i - 1 AS dim,
+                        CAST(ROUND(CAST(sub[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+                 FROM seeded, generate_series(1, $sd) AS t(i)),
+       sums AS (SELECT m, cell0, dim, SUM(fx) AS sfx, COUNT(*) AS n FROM comps GROUP BY 1, 2, 3),
+       cent AS (SELECT m, cell0 AS cell, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                FROM sums GROUP BY m, cell0),
+       scored AS (
+         SELECT s.vec_id, s.m, c.cell,
+                list_reduce([CAST(s.sub[i] AS DOUBLE) * c.centroid[i]
+                             FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) AS sc
+         FROM subs s JOIN cent c ON s.m = c.m),
+       assigned AS (
+         SELECT vec_id, m, cell AS code FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, cell ASC) AS rn
+           FROM scored) WHERE rn = 1),
+       codes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM assigned GROUP BY vec_id),
+       lutrows AS (
+         SELECT q.vec_id AS query_id, c.m, c.cell,
+                list_reduce([CAST(q.embedding[c.m * $sd + i] AS DOUBLE) * c.centroid[i]
+                             FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) AS lv
+         FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20),
+       lut AS (SELECT query_id, list(lv ORDER BY m, cell) AS lut FROM lutrows GROUP BY query_id)"""
+  }
+
+  /** PQ tail shared by q154Sql/q155Sql: 32-deep ADC shortlist, exact
+    * top-5 rerank, final projection — consumes an `adc` CTE of
+    * (query_id, neighbor_id, adc).
+    */
+  private def pqTailSql: String =
+    s"""short AS (
+         SELECT query_id, neighbor_id, adc FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS srn
+           FROM adc) WHERE srn <= 32),
+       rer AS (
+         SELECT s.query_id, s.neighbor_id, s.adc,
+                list_reduce([CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)
+                             FOR i IN generate_series(1, len(qe.embedding))], (acc, v) -> acc + v) AS cosine
+         FROM short s JOIN embeddings qe ON s.query_id = qe.vec_id
+                      JOIN embeddings ne ON s.neighbor_id = ne.vec_id)
+       SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cos_r, ROUND(adc, 6) AS adc_r FROM (
+         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS rank
+         FROM rer)
+       WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  def q154Sql: String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val K = 1 << H.pqBits
+    s"""WITH $pqCteSql,
+       adc AS (
+         SELECT l.query_id, c.vec_id AS neighbor_id,
+                list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
+                             FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
+         FROM lut l CROSS JOIN codes c WHERE l.query_id <> c.vec_id),
+       $pqTailSql"""
+  }
+
+  /** DuckDB replica of q155: the q58 IVF CTEs (prefixed ivf_ to avoid
+    * colliding with the PQ names) route each probe to its 4 nearest
+    * cells; the ADC fold is q154's, restricted to routed (query, cell)
+    * matches.
+    */
+  def q155Sql: String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val K = 1 << H.pqBits
+    val ivfCell0 = H.duckCellSqlN("embedding", 4)
+    s"""WITH $pqCteSql,
+       ivf_seeded AS (SELECT vec_id, embedding, $ivfCell0 AS cell0 FROM embeddings),
+       ivf_comps AS (SELECT cell0, i - 1 AS dim,
+                            CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT) AS fx
+                     FROM ivf_seeded, UNNEST(generate_series(1, len(embedding))) AS t(i)),
+       ivf_sums AS (SELECT cell0, dim, SUM(fx) AS sfx, COUNT(*) AS n FROM ivf_comps GROUP BY 1, 2),
+       ivf_cent AS (SELECT cell0 AS cell, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS centroid
+                    FROM ivf_sums GROUP BY cell0),
+       ivf_ranked AS (
+         SELECT e.vec_id, c.cell,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                  list_reduce([CAST(e.embedding[i] AS DOUBLE) * c.centroid[i]
+                               FOR i IN generate_series(1, len(e.embedding))],
+                              (acc, v) -> acc + v) DESC, c.cell ASC) AS rn
+         FROM embeddings e CROSS JOIN ivf_cent c),
+       ivf_assigned AS (SELECT vec_id, cell FROM ivf_ranked WHERE rn = 1),
+       probecells AS (SELECT vec_id AS query_id, cell FROM ivf_ranked WHERE rn <= 4 AND vec_id < 20),
+       adc AS (
+         SELECT p.query_id, c.vec_id AS neighbor_id,
+                list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
+                             FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
+         FROM probecells p
+              JOIN ivf_assigned a USING (cell)
+              JOIN codes c ON a.vec_id = c.vec_id
+              JOIN lut l ON l.query_id = p.query_id
+         WHERE c.vec_id <> p.query_id),
+       $pqTailSql"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_hybrid_retrieval" -> (q125HybridRetrieval _),
     "q124_hard_negatives" -> (q124HardNegatives _),
@@ -1246,7 +1554,9 @@ object Similarity {
     "q140_ann_index_probe" -> (q140AnnIndexProbe _),
     "q144_ann_index_build" -> (q144AnnIndexBuild _),
     "q147_semantic_dedup_1k" -> (q147SemanticDedup1k _),
-    "q150_semantic_dedup_hier" -> (q150SemanticDedupHier _))
+    "q150_semantic_dedup_hier" -> (q150SemanticDedupHier _),
+    "q154_ann_pq_adc" -> (q154AnnPqAdc _),
+    "q155_ann_ivf_pq" -> (q155AnnIvfPq _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1261,5 +1571,7 @@ object Similarity {
     "q140_ann_index_probe" -> q140Sql,
     "q144_ann_index_build" -> q144Sql,
     "q147_semantic_dedup_1k" -> q147Sql,
-    "q150_semantic_dedup_hier" -> q150Sql)
+    "q150_semantic_dedup_hier" -> q150Sql,
+    "q154_ann_pq_adc" -> q154Sql,
+    "q155_ann_ivf_pq" -> q155Sql)
 }

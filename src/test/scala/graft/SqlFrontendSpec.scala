@@ -62,7 +62,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q147_semantic_dedup_1k",
     "q148_embedding_neardup_wide11", "q149_embedding_neardup_wide14",
     "q150_semantic_dedup_hier", "q151_embedding_neardup_wide14_mp",
-    "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14")
+    "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14",
+    "q154_ann_pq_adc", "q155_ann_ivf_pq")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
