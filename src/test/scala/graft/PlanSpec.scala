@@ -470,4 +470,20 @@ class PlanSpec extends SparkSpec {
     // Dup exclusion is a plain Filter on the scored candidates, pre-window.
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("q155 IVF-PQ serves from broadcast routing + broadcast LUTs; shortlist windows are group-limit pruned") {
+    val p = plan("q155_ann_ivf_pq")
+    // The routed ADC scan: probe cells reach the corpus as a broadcast
+    // hash join ON cell, and the per-query LUTs as a broadcast hash join
+    // on query_id — the corpus' (cell, codes) rows never shuffle for
+    // scoring. (The 16-centroid crossJoins inside the quantizers are
+    // broadcast nested loops by design; a true CartesianProduct must
+    // never appear.)
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(p).isDefined, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Both rank windows (32-deep ADC shortlist, top-5 rerank) are pruned
+    // to their limits before any downstream work.
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }
