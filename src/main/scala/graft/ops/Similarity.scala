@@ -955,10 +955,18 @@ object Similarity {
     // hashed with a DIFFERENT geometry would silently produce bucket ids
     // that never collide with the resident rows — fail fast instead.
     if (mode == "append") {
-      val existing = indexGeometry(vecs.sparkSession, path)
-        .getOrElse((graft.functions.Hyperplanes.bits, graft.functions.Hyperplanes.tables))
-      require(existing == ((bitsPerTable, numTables)),
-        s"append geometry ($numTables x $bitsPerTable) != index geometry $existing at $path")
+      indexGeometry(vecs.sparkSession, path) match {
+        case Some(existing) =>
+          require(existing == ((bitsPerTable, numTables)),
+            s"append geometry ($numTables x $bitsPerTable) != index geometry $existing at $path")
+        case None if java.nio.file.Files.exists(java.nio.file.Paths.get(path)) =>
+          // Data present but no geometry record: a pre-dial legacy index,
+          // hashed at the compile-time default.
+          val legacy = (graft.functions.Hyperplanes.bits, graft.functions.Hyperplanes.tables)
+          require(legacy == ((bitsPerTable, numTables)),
+            s"append geometry ($numTables x $bitsPerTable) != legacy index geometry $legacy at $path")
+        case None => // fresh path: the first append CREATES the index.
+      }
     }
     val grpBits = indexGrpBits(bitsPerTable)
     vecs

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous maintenance of the persisted ANN index — q140/q144's
+  * nightly append path promoted to a Structured Streaming sink, so a
+  * live embedding feed (new documents arriving for indexing) keeps the
+  * vector index current without any batch scheduler.
+  *
+  * Design (all reused, nothing re-invented):
+  *   - Each micro-batch appends through [[graft.ops.Similarity.annIndexWrite]]
+  *     `mode=append` — the SAME geometry-checked, bucket-group-partitioned
+  *     writer the batch path uses, so stream-built and batch-built indexes
+  *     are byte-compatible and a probe cannot tell them apart
+  *     (AnnIngestSpec pins probe equality).
+  *   - Replay safety: Structured Streaming's contract at a foreachBatch
+  *     sink is at-least-once — after a crash between "sink ran batch N"
+  *     and "checkpoint committed batch N", restart replays batch N. A
+  *     committed-batch marker (`_ingest/batch-N` under the index root,
+  *     underscore-prefixed so table scans never see it) makes replays
+  *     no-ops. The residual window (crash AFTER the append, BEFORE the
+  *     marker) can duplicate one batch's rows; that is RESULT-NEUTRAL by
+  *     construction — [[graft.ops.Similarity.annIndexProbe]] dedups
+  *     candidate pairs before ranking (AnnIngestSpec pins this too) — and
+  *     the duplicate bytes are reclaimed by ordinary compaction. This is
+  *     the deliberate trade for an index: exact once-per-batch OUTPUT (the
+  *     [[IdempotentSink]] per-batch-directory recipe) would force a
+  *     batch-id partition layer into the index layout and break
+  *     bucket-directory pruning; idempotent-EFFECT with a commit marker
+  *     keeps the serving layout intact.
+  *
+  * Scale shape: per batch, signature hashing is the batch's own
+  * parallelism (64 codegen'd dots per vector, paid once per vector's
+  * lifetime); the append repartitions ONLY the batch by (tbl, bgrp) and
+  * drops files into ≤ tables × 2^grpBits existing directories. The corpus
+  * index is never read, re-hashed, or re-shuffled by ingest — cost is
+  * O(batch), independent of index size, which is what lets the stream run
+  * at 100 TB corpus scale.
+  */
+object AnnIngest {
+
+  /** The per-batch appender, exposed separately so replay idempotence is
+    * directly testable: a second call with an already-committed batchId
+    * must be a no-op. Returns true when the batch was appended, false
+    * when the marker short-circuited a replay.
+    *
+    * `batch` must carry (vec_id, emb array<double>) — annIndexWrite's
+    * contract.
+    */
+  def appendBatch(batch: DataFrame, indexPath: String, batchId: Long,
+                  bitsPerTable: Int, numTables: Int): Boolean = {
+    val marker = Paths.get(indexPath, "_ingest", s"batch-$batchId")
+    if (Files.exists(marker)) false
+    else {
+      graft.ops.Similarity.annIndexWrite(batch, indexPath, mode = "append",
+        bitsPerTable = bitsPerTable, numTables = numTables)
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, s"rows=${batch.count()}".getBytes(StandardCharsets.UTF_8))
+      true
+    }
+  }
+
+  /** Wire a streaming (vec_id, emb) frame into the index. The first
+    * committed batch creates the index (append onto an empty path lays
+    * down the partition tree and the `_geometry` record); every later
+    * batch must match that geometry or annIndexWrite fails fast.
+    */
+  def run(embStream: DataFrame, indexPath: String, checkpoint: String,
+          bitsPerTable: Int, numTables: Int): StreamingQuery =
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        appendBatch(df, indexPath, id, bitsPerTable, numTables)
+        ()
+      }
+      .start()
+}

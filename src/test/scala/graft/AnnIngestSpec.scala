@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming maintenance of the persisted ANN index: a stream-fed index
+  * must be indistinguishable from a batch-built one at probe time, and
+  * the at-least-once foreachBatch contract must not corrupt results.
+  */
+class AnnIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val geom = (8, 4) // small geometry keeps the fixture dense
+
+  private def emb(): DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+
+  private def probeBatch(): DataFrame = emb().filter(col("vec_id") % 10 === 0)
+
+  test("stream-fed index probes identically to a batch-built index") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    // Batch-built reference.
+    val batchPath = java.nio.file.Files.createTempDirectory("ann_batch").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, batchPath,
+      bitsPerTable = geom._1, numTables = geom._2)
+    // Stream-built: three micro-batches split by vec_id residue.
+    val streamPath = java.nio.file.Files.createTempDirectory("ann_stream").toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_ckpt").toString
+    val src = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.AnnIngest.run(
+      src.toDF().toDF("vec_id", "emb"), streamPath, ckpt, geom._1, geom._2)
+    try {
+      val rows = corpus.as[(Long, Seq[Double])].collect()
+      Seq(0, 1, 2).foreach { r =>
+        src.addData(rows.filter(_._1 % 3 == r).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // Same geometry recorded, same probe results.
+    assert(graft.ops.Similarity.indexGeometry(spark, streamPath).contains(geom))
+    val fromBatch = graft.ops.Similarity.annIndexProbe(spark, batchPath, probeBatch())
+      .collect().toSeq
+    val fromStream = graft.ops.Similarity.annIndexProbe(spark, streamPath, probeBatch())
+      .collect().toSeq
+    assert(fromStream.nonEmpty && fromStream == fromBatch,
+      s"stream-built probe diverged: ${fromStream.take(3)} vs ${fromBatch.take(3)}")
+  }
+
+  test("replayed batch is a marker-gated no-op; a worst-case duplicate append is result-neutral") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("ann_replay").toString + "/idx"
+    assert(graft.streaming.AnnIngest.appendBatch(corpus, path, 0L, geom._1, geom._2))
+    val baseline = graft.ops.Similarity.annIndexProbe(spark, path, probeBatch()).collect().toSeq
+    val rowsBefore = spark.read.parquet(path).count()
+    // Replay with the marker present: no-op, index unchanged.
+    assert(!graft.streaming.AnnIngest.appendBatch(corpus, path, 0L, geom._1, geom._2))
+    assert(spark.read.parquet(path).count() == rowsBefore, "replay appended rows")
+    // The crash-window worst case (append landed, marker didn't): force a
+    // raw duplicate append — probe results must not change, because the
+    // probe dedups candidate pairs before ranking.
+    graft.ops.Similarity.annIndexWrite(corpus, path, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2)
+    assert(spark.read.parquet(path).count() == rowsBefore * 2)
+    val dupped = graft.ops.Similarity.annIndexProbe(spark, path, probeBatch()).collect().toSeq
+    assert(dupped == baseline, "duplicated index rows changed probe results")
+  }
+
+  test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("ann_geom").toString + "/idx"
+    assert(graft.streaming.AnnIngest.appendBatch(corpus, path, 0L, geom._1, geom._2))
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnIngest.appendBatch(corpus, path, 1L, 14, 16)
+    }
+  }
+}
