@@ -653,6 +653,26 @@ object Dedup {
   val q152Sql: String =
     neardupOracleSql(11, multiProbe = true, numTables = 32, from = plantedEmbeddingsSql)
 
+  /** q157 — the dial's NEXT step: held-L 16 tables × 17 bits (272 planes
+    * of the shared pool, still clear of the PQ rows at 448+). The round-9
+    * sf10 leg graded the registered 14-bit posture q149 at ~95×
+    * anchor-normalized — n²L/2ᵇ arithmetic says b = 14 is the sf1-decade
+    * geometry and the sf10 decade (200k vectors) wants b ≈ log₂ n ≈ 17–18:
+    * stepping to 17 cuts same-bucket candidates 8× at identical L. This
+    * registration is that step, measured (same-boot sf10 probe vs q149)
+    * instead of argued; at the small verify SFs it survives on the
+    * planted exact clones (cosine 1.0 collides in every table at any b),
+    * which is exactly what they exist for — the posture's recall grade
+    * lives at its own decade, not at sf0.01.
+    */
+  def q157EmbeddingNeardupWide17(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 17, numTables = 16)
+  }
+
+  val q157Sql: String =
+    neardupOracleSql(17, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -991,7 +1011,8 @@ object Dedup {
     "q149_embedding_neardup_wide14" -> (q149EmbeddingNeardupWide14 _),
     "q151_embedding_neardup_wide14_mp" -> (q151EmbeddingNeardupWide14Mp _),
     "q152_embedding_neardup_recall" -> (q152EmbeddingNeardupRecall _),
-    "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _))
+    "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _),
+    "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1014,5 +1035,6 @@ object Dedup {
     "q149_embedding_neardup_wide14" -> q149Sql,
     "q151_embedding_neardup_wide14_mp" -> q151Sql,
     "q152_embedding_neardup_recall" -> q152Sql,
-    "q153_consensus_dedup_wide14" -> q153Sql)
+    "q153_consensus_dedup_wide14" -> q153Sql,
+    "q157_embedding_neardup_wide17" -> q157Sql)
 }

@@ -63,7 +63,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q148_embedding_neardup_wide11", "q149_embedding_neardup_wide14",
     "q150_semantic_dedup_hier", "q151_embedding_neardup_wide14_mp",
     "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14",
-    "q154_ann_pq_adc", "q155_ann_ivf_pq", "q156_ann_ivfpq_residual")
+    "q154_ann_pq_adc", "q155_ann_ivf_pq", "q156_ann_ivfpq_residual",
+    "q157_embedding_neardup_wide17")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
