@@ -177,30 +177,39 @@ object Hyperplanes {
   private def pqSubPlane(m: Int, b: Int): Array[Double] =
     planesAll(pqPlaneStart + b).slice(m * pqSubDim, (m + 1) * pqSubDim)
 
-  /** Spark SQL: the pqBits-bit seed cell of subspace `mCol` for `sub` (an
+  /** Spark SQL: the `bits`-bit seed cell of subspace `mCol` for `sub` (an
     * array<double> column of pqSubDim components). The plane is selected
     * from a 2-D literal indexed by the m COLUMN (0-based in Spark), so one
-    * expression serves all 8 subspaces after the posexplode.
+    * expression serves all 8 subspaces after the posexplode. `bits` is the
+    * PQ codebook dial (q159 measures the 4 → 8 step); rows
+    * [pqPlaneStart, pqPlaneStart + bits) stay prefix-stable, so the 4-bit
+    * postures' cells are the high nibble of the 8-bit posture's cells.
     */
   def sparkSubCellExpr(sub: String, mCol: String): String =
-    (0 until pqBits).map { b =>
+    sparkSubCellExpr(sub, mCol, pqBits)
+
+  def sparkSubCellExpr(sub: String, mCol: String, bits: Int): String =
+    (0 until bits).map { b =>
       val rows = (0 until pqM)
         .map(m => planeArraySql(pqSubPlane(m, b), "array(", ")"))
         .mkString("array(", ",", ")")
-      s"(CASE WHEN graft_dot($sub, $rows[$mCol]) > 0D THEN ${1 << (pqBits - 1 - b)} ELSE 0 END)"
+      s"(CASE WHEN graft_dot($sub, $rows[$mCol]) > 0D THEN ${1 << (bits - 1 - b)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** DuckDB replica of [[sparkSubCellExpr]] — identical sliced-plane
     * literals (1-based list indexing, hence `mCol + 1`), identical fold.
     */
   def duckSubCellSql(sub: String, mCol: String): String =
-    (0 until pqBits).map { b =>
+    duckSubCellSql(sub, mCol, pqBits)
+
+  def duckSubCellSql(sub: String, mCol: String, bits: Int): String =
+    (0 until bits).map { b =>
       val rows = (0 until pqM)
         .map(m => planeArraySql(pqSubPlane(m, b), "[", "]"))
         .mkString("[", ",", "]")
       s"""(CASE WHEN list_reduce(
            [CAST($sub[i] AS DOUBLE) * (($rows)[$mCol + 1])[i] FOR i IN generate_series(1, $pqSubDim)],
-           (acc, v) -> acc + v) > 0 THEN ${1 << (pqBits - 1 - b)} ELSE 0 END)"""
+           (acc, v) -> acc + v) > 0 THEN ${1 << (bits - 1 - b)} ELSE 0 END)"""
     }.mkString("(", " + ", ")")
 
   /** DuckDB SQL: the identical bucket-id list for `emb`, a FLOAT[] column

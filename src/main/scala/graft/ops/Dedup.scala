@@ -973,6 +973,24 @@ object Dedup {
   val q153Sql: String =
     consensusSql(neardupOracleSql(14, multiProbe = false, numTables = 16))
 
+  /** q158 — the consensus ensemble recomposed on the q157 decade leg
+    * (the VERDICT r8 task-5 pattern, one decade further): identical
+    * MinHash and SimHash legs, embedding leg at held-L 16×17. q153's
+    * 14-bit leg reads 22× at sf10 — fine for ITS decade; this is the
+    * posture a 100×-scale ensemble actually ships, with the embedding
+    * leg's candidate volume cut 8× by the b step the same-boot q149/q157
+    * probe measured at 15.7× wall-clock.
+    */
+  def q158ConsensusDedupWide17(s: SparkSession, dir: String): DataFrame =
+    consensusNearDups(
+      t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      embBits = 17, embTables = 16)
+
+  val q158Sql: String =
+    consensusSql(neardupOracleSql(17, multiProbe = false, numTables = 16))
+
   private def consensusSql(embLegSql: String): String =
     s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
        s AS (SELECT id1, id2 FROM ($q53Pairs)),
@@ -1012,7 +1030,8 @@ object Dedup {
     "q151_embedding_neardup_wide14_mp" -> (q151EmbeddingNeardupWide14Mp _),
     "q152_embedding_neardup_recall" -> (q152EmbeddingNeardupRecall _),
     "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _),
-    "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _))
+    "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _),
+    "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1036,5 +1055,6 @@ object Dedup {
     "q151_embedding_neardup_wide14_mp" -> q151Sql,
     "q152_embedding_neardup_recall" -> q152Sql,
     "q153_consensus_dedup_wide14" -> q153Sql,
-    "q157_embedding_neardup_wide17" -> q157Sql)
+    "q157_embedding_neardup_wide17" -> q157Sql,
+    "q158_consensus_dedup_wide17" -> q158Sql)
 }

@@ -1308,7 +1308,8 @@ object Similarity {
   /** [[pqModel]] over an arbitrary (vec_id, emb array<double>) frame —
     * q154/q155 train on raw embeddings, q156 on coarse-cell residuals.
     */
-  private[graft] def pqModelOn(emb: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def pqModelOn(emb: DataFrame,
+                               pqBits: Int = graft.functions.Hyperplanes.pqBits): (DataFrame, DataFrame) = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     // Subvectors: one row per (vector, subspace), sub = 8-dim slice.
@@ -1317,7 +1318,7 @@ object Similarity {
         .as(Seq("m", "sub")))
     // Seed partition + fixed-point centroids (the q58 integer-mean trick,
     // per (subspace, cell) instead of per cell).
-    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m")))
+    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
     val cents = seeded
       .select(col("m"), col("cell0"), posexplode(
         expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
@@ -1364,10 +1365,11 @@ object Similarity {
     * probe, ordered (m, cell) ascending so the serving fold indexes it
     * directly.
     */
-  private def pqLutDf(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private def pqLutDf(emb: DataFrame, cents: DataFrame,
+                      pqBits: Int = graft.functions.Hyperplanes.pqBits): DataFrame = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
-    val K = 1 << H.pqBits
+    val K = 1 << pqBits
     // The codebook is SPARSE: a (m, cell) seed pattern no vector hits has
     // no centroid (q156's residual cells can be empty at some SFs). The
     // LUT must still be a DENSE M×K array — the serving fold indexes it
@@ -1532,11 +1534,12 @@ object Similarity {
     * the LUT side always reads the RAW query embeddings (q156 scores raw
     * queries against the residual codebook).
     */
-  private def pqCteSql(from: String, vec: String): String = {
+  private def pqCteSql(from: String, vec: String,
+                       pqBits: Int = graft.functions.Hyperplanes.pqBits): String = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     val sd = H.pqSubDim
-    val cell0 = H.duckSubCellSql("sub", "m")
+    val cell0 = H.duckSubCellSql("sub", "m", pqBits)
     s"""subs AS (
          SELECT vec_id, m, $vec[m * $sd + 1 : m * $sd + $sd] AS sub
          FROM $from, generate_series(0, ${M - 1}) AS t(m)),
@@ -1565,7 +1568,7 @@ object Similarity {
        lutgrid AS (
          SELECT q.vec_id AS query_id, mm.m, kk.cell
          FROM embeddings q, generate_series(0, ${M - 1}) AS mm(m),
-              generate_series(0, ${(1 << H.pqBits) - 1}) AS kk(cell)
+              generate_series(0, ${(1 << pqBits) - 1}) AS kk(cell)
          WHERE q.vec_id < 20),
        lut AS (SELECT g.query_id, list(COALESCE(l.lv, 0.0) ORDER BY g.m, g.cell) AS lut
                FROM lutgrid g LEFT JOIN lutrows l
@@ -1646,6 +1649,49 @@ object Similarity {
        $pqTailSql"""
   }
 
+  /** q159 — the PQ codebook dial, measured: q154's pipeline at 8 bits per
+    * subspace (256-cell codebooks, 8 bytes/vector — FAISS's PQ8 default)
+    * instead of 4 (16 cells, 4 B/vector). Everything else held: same
+    * seed-plane prefix (rows 448–455; the 4-bit cells are the high nibble
+    * of the 8-bit cells, so the dial is prefix-stable like the LSH pool),
+    * same integer-mean training, same broadcast-LUT ADC serving (the LUT
+    * grows to M·256 = 2048 doubles/probe — still broadcast-trivial), same
+    * 32-deep exact rerank. The dial trades 2× code memory for recall:
+    * measured at sf0.001 vs the exact q55 top-5, 0.47 (4-bit) → 0.73
+    * (8-bit) — PqSpec pins the ordering. Encode cost rises to Θ(n·M·K)
+    * dots; at K=256 that is the regime where a real deployment switches
+    * the encoder to the hierarchical assignment q150 proved (√K×√K),
+    * noted here so the falsification record's lesson carries over.
+    */
+  def q159AnnPq8(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val bits = 8
+    val K = 1 << bits
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val (cents, codes) = pqModelOn(emb, pqBits = bits)
+    val lut = pqLutDf(emb, cents, pqBits = bits)
+    val adc = codes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
+    pqAdcRerank(emb, adc)
+  }
+
+  def q159Sql: String = {
+    val M = graft.functions.Hyperplanes.pqM
+    val K = 1 << 8
+    s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
+       adc AS (
+         SELECT l.query_id, c.vec_id AS neighbor_id,
+                list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
+                             FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
+         FROM lut l CROSS JOIN codes c WHERE l.query_id <> c.vec_id),
+       $pqTailSql"""
+  }
+
   /** DuckDB replica of q156: the q155 IVF CTEs plus a residual relation
     * (embedding − assigned-cell centroid, exact IEEE subtraction on the
     * shared fixed-point centroids), the PQ CTEs retargeted at the
@@ -1715,7 +1761,8 @@ object Similarity {
     "q150_semantic_dedup_hier" -> (q150SemanticDedupHier _),
     "q154_ann_pq_adc" -> (q154AnnPqAdc _),
     "q155_ann_ivf_pq" -> (q155AnnIvfPq _),
-    "q156_ann_ivfpq_residual" -> (q156AnnIvfPqResidual _))
+    "q156_ann_ivfpq_residual" -> (q156AnnIvfPqResidual _),
+    "q159_ann_pq8" -> (q159AnnPq8 _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1733,5 +1780,6 @@ object Similarity {
     "q150_semantic_dedup_hier" -> q150Sql,
     "q154_ann_pq_adc" -> q154Sql,
     "q155_ann_ivf_pq" -> q155Sql,
-    "q156_ann_ivfpq_residual" -> q156Sql)
+    "q156_ann_ivfpq_residual" -> q156Sql,
+    "q159_ann_pq8" -> q159Sql)
 }

@@ -129,6 +129,22 @@ class PqSpec extends SparkSpec {
     assert(rRes > 0.3, s"residual IVF-PQ recall $rRes vs exact top-5")
   }
 
+  test("q159 8-bit codes beat the 4-bit recall at 2x code memory (the codebook dial)") {
+    val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq4 = ops.Similarity.q154AnnPqAdc(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq8 = ops.Similarity.q159AnnPq8(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq8.nonEmpty)
+    val r4 = (exact & pq4).size.toDouble / exact.size
+    val r8 = (exact & pq8).size.toDouble / exact.size
+    // Same planes prefix, same serving, 2x the code bytes: measured
+    // 0.47 -> 0.73 at sf0.001.
+    assert(r8 >= r4, s"8-bit recall $r8 < 4-bit recall $r4")
+    assert(r8 > 0.55, s"8-bit PQ recall $r8 vs exact top-5")
+  }
+
   test("q154 PQ pipeline keeps a recall floor vs the exact q55 top-5") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet

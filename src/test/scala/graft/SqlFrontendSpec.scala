@@ -64,7 +64,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q150_semantic_dedup_hier", "q151_embedding_neardup_wide14_mp",
     "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14",
     "q154_ann_pq_adc", "q155_ann_ivf_pq", "q156_ann_ivfpq_residual",
-    "q157_embedding_neardup_wide17")
+    "q157_embedding_neardup_wide17", "q158_consensus_dedup_wide17",
+    "q159_ann_pq8")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
