@@ -1692,6 +1692,150 @@ object Similarity {
        $pqTailSql"""
   }
 
+  /** q160 — the hierarchical PQ8 encoder: q159's codebook and serving
+    * with the ENCODE rebuilt on q150's two-level pattern, because q159's
+    * sf10 leg measured the Θ(n·M·K) flat assignment as the knee at K=256
+    * (25.6× — the q147 falsification arithmetic one layer down). Each
+    * subspace's 256 cells are grouped by their seed high nibble; a
+    * vector's subcode is found by ranking the 16 SUPER-centroids (exact
+    * fixed-point sums of each group's member sums — same integer-mean
+    * recipe, one more aggregation level) and then only the ≤16 cells of
+    * the winning group: Θ(n·M·32), an 8× encode cut at identical
+    * codebook, LUTs, ADC, and rerank. The greedy hierarchy can pick a
+    * group whose best cell is globally second-best, so recall sits
+    * between the 4-bit and flat-8-bit postures — measured at sf0.001:
+    * 0.58, vs q159's flat-assign 0.73 and q154's 4-bit 0.47 (PqSpec pins
+    * the ordering). On this near-uniform corpus the seed high-nibble
+    * groups are weakly separated, so the greedy stage misroutes more
+    * than clustered real corpora would; the dial is explicit — spend
+    * Θ(n·M·K) when recall is the bar, Θ(n·M·2√K) when encode is.
+    */
+  def q160AnnPq8Hier(s: SparkSession, dir: String): DataFrame =
+    pqHier8(s, dir, beam = 1)
+
+  /** q161 — the beam dial on q160's hierarchical encoder: stage 1 keeps
+    * the top-TWO super-groups per (vector, subspace) and stage 2 ranks
+    * both groups' cells, Θ(n·M·48) vs q160's Θ(n·M·32) and q159's flat
+    * Θ(n·M·256). The greedy hierarchy's miss mode is exactly a
+    * second-best group holding the globally best cell, so one extra beam
+    * recovers over half the gap — measured at sf0.001: recall 0.66 vs
+    * q160's 0.58 and flat-8-bit q159's 0.73 (PqSpec pins the ordering).
+    * The family is now a measured frontier: cells-scanned 32/48/256 →
+    * recall 0.58/0.66/0.73 — at 100 TB the encode pass is the recurring
+    * cost (every new document), so the beam, not K, is the production
+    * recall dial.
+    */
+  def q161AnnPq8HierBeam(s: SparkSession, dir: String): DataFrame =
+    pqHier8(s, dir, beam = 2)
+
+  /** Shared core of q160/q161: 8-bit PQ with two-level (16 super-groups
+    * × 16 cells) hierarchical encode, stage-1 beam width `beam`.
+    */
+  private def pqHier8(s: SparkSession, dir: String, beam: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val bits = 8
+    val K = 1 << bits
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val subs = emb.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
+        .as(Seq("m", "sub")))
+    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", bits)))
+    val sums = seeded
+      .select(col("m"), col("cell0"), posexplode(
+        expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
+      .groupBy(col("m"), col("cell0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+    val cents = sums.groupBy(col("m"), col("cell0"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+      .select(col("m"), col("cell0").as("cell"), col("centroid"))
+    // Super-centroids: the group's member sums re-aggregated — exact
+    // integer adds, so bit-identical in DuckDB under any grouping order.
+    val supCents = sums.withColumn("g", expr("cell0 div 16"))
+      .groupBy(col("m"), col("g"), col("dim"))
+      .agg(sum(col("sfx")).as("sfx"), sum(col("n")).as("n"))
+      .groupBy(col("m"), col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("scentroid"))
+    // Stage 1: rank the 16 super-centroids, keep the top `beam` groups
+    // (sc desc, g asc — the ng negation keeps sort_array single-key).
+    // Stage 2: rank only the kept groups' cells. Both aggregation passes
+    // partial-aggregate; group cells are disjoint, so stage 2 never
+    // scores a cell twice.
+    val s1 = subs.join(broadcast(supCents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("g"),
+        expr("graft_dot(sub, scentroid)").as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
+      .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
+    val hCodes = subs.join(s1, Seq("vec_id", "m"))
+      .join(broadcast(cents), Seq("m"))
+      .filter(expr("cell div 16") === col("g"))
+      .select(col("vec_id"), col("m"), col("cell"),
+        expr("graft_dot(sub, centroid)").as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+    val lut = pqLutDf(emb, cents, pqBits = bits)
+    val adc = hCodes.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
+    pqAdcRerank(emb, adc)
+  }
+
+  /** DuckDB replica of q160: the 8-bit train/LUT CTEs (the global-argmax
+    * `scored`/`assigned`/`codes` CTEs in the shared prefix go unreferenced
+    * and unexecuted), plus the two-stage hierarchical assignment —
+    * super-centroids from re-aggregated integer member sums, ROW_NUMBER
+    * tie-breaks mirroring the max_by struct ordering.
+    */
+  def q160Sql: String = pqHier8Sql(1)
+
+  /** DuckDB replica of q161 — q160's hierarchical CTEs with the stage-1
+    * beam widened to 2 (`rn <= 2`); stage 2's ROW_NUMBER already ranks
+    * across whatever groups stage 1 kept.
+    */
+  def q161Sql: String = pqHier8Sql(2)
+
+  private def pqHier8Sql(beam: Int): String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val sd = H.pqSubDim
+    val K = 1 << 8
+    s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
+       supsums AS (SELECT m, cell0 // 16 AS g, dim, SUM(sfx) AS sfx, SUM(n) AS n
+                   FROM sums GROUP BY 1, 2, 3),
+       supcent AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
+                   FROM supsums GROUP BY m, g),
+       s1 AS (
+         SELECT vec_id, m, g FROM (
+           SELECT s.vec_id, s.m, c.g,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_reduce([CAST(s.sub[i] AS DOUBLE) * c.scentroid[i]
+                                 FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
+                    c.g ASC) AS rn
+           FROM subs s JOIN supcent c ON s.m = c.m) WHERE rn <= $beam),
+       h2 AS (
+         SELECT vec_id, m, cell AS code FROM (
+           SELECT s.vec_id, s.m, c.cell,
+                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                    list_reduce([CAST(s.sub[i] AS DOUBLE) * c.centroid[i]
+                                 FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
+                    c.cell ASC) AS rn
+           FROM subs s JOIN s1 USING (vec_id, m)
+                JOIN cent c ON c.m = s.m AND c.cell // 16 = s1.g) WHERE rn = 1),
+       hcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM h2 GROUP BY vec_id),
+       adc AS (
+         SELECT l.query_id, c.vec_id AS neighbor_id,
+                list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
+                             FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
+         FROM lut l CROSS JOIN hcodes c WHERE l.query_id <> c.vec_id),
+       $pqTailSql"""
+  }
+
   /** DuckDB replica of q156: the q155 IVF CTEs plus a residual relation
     * (embedding − assigned-cell centroid, exact IEEE subtraction on the
     * shared fixed-point centroids), the PQ CTEs retargeted at the
@@ -1762,7 +1906,9 @@ object Similarity {
     "q154_ann_pq_adc" -> (q154AnnPqAdc _),
     "q155_ann_ivf_pq" -> (q155AnnIvfPq _),
     "q156_ann_ivfpq_residual" -> (q156AnnIvfPqResidual _),
-    "q159_ann_pq8" -> (q159AnnPq8 _))
+    "q159_ann_pq8" -> (q159AnnPq8 _),
+    "q160_ann_pq8_hier" -> (q160AnnPq8Hier _),
+    "q161_ann_pq8_hier_beam" -> (q161AnnPq8HierBeam _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1781,5 +1927,7 @@ object Similarity {
     "q154_ann_pq_adc" -> q154Sql,
     "q155_ann_ivf_pq" -> q155Sql,
     "q156_ann_ivfpq_residual" -> q156Sql,
-    "q159_ann_pq8" -> q159Sql)
+    "q159_ann_pq8" -> q159Sql,
+    "q160_ann_pq8_hier" -> q160Sql,
+    "q161_ann_pq8_hier_beam" -> q161Sql)
 }
