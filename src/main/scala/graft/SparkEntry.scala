@@ -51,6 +51,8 @@ object SparkEntry {
     * q140 (the index build the probe amortizes over) — marked here for
     * the same mechanical reason: its cost is intentionally corpus-scale
     * and must not be read as a per-probe number (VERDICT r7 item 5).
+    * q163 is the same MAINTENANCE marking for the PQ-coded index family
+    * (q163 build → q164 probe).
     */
   val auditBaselines: Set[String] = Set(
     "q51_dedup_jaccard",
@@ -59,7 +61,8 @@ object SparkEntry {
     "q128_kmv_distinct",
     "q130_kmv_overlap",
     "q134_mad_outliers",
-    "q144_ann_index_build")
+    "q144_ann_index_build",
+    "q163_ann_pq_index_build")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -340,6 +340,104 @@ object Curation {
        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"""
 
+  /** Bloom bitmap geometry for q162: m = 2^20 bits (a 128 KiB broadcast,
+    * 16384 longs) probed at k = 5 positions per shingle. At the fixture's
+    * eval-shingle counts the fill is negligible; at a REAL benchmark
+    * suite (say n = 10^7 eval shingles) the same m gives fill
+    * 1 − e^(−kn/m) ≈ 1, so production steps m with the suite:
+    * m ≈ 1.44·k·n keeps fpp = (1 − e^(−kn/m))^k ≈ 0.03 at ~9 MB — still
+    * two orders under the raw shingle-set broadcast the gate replaces.
+    */
+  private[graft] val bloomBits = 1 << 20
+  private[graft] val bloomHashes = 5
+
+  /** The k xxhash64-derived bit positions of `shingle` in [0, m): the
+    * hash index i is xxhash64's leading argument, so the k probes are
+    * independent single-pass hashes of the same string — all inside
+    * whole-stage codegen, no UDF.
+    */
+  private def bloomPosExpr(shingleCol: String): String =
+    s"transform(sequence(0, ${bloomHashes - 1}), " +
+      s"i -> CAST(pmod(xxhash64(i, $shingleCol), $bloomBits) AS INT))"
+
+  /** q162 — Bloom-gated decontamination: the q121 sketch-gate doctrine
+    * (sound gate → exact verify on survivors → the output IS the exact
+    * answer) applied to benchmark decontamination. q76 broadcasts the
+    * eval split's full shingle SET; at a real eval suite that broadcast
+    * is the strings themselves — hundreds of MB shipped to every
+    * executor. q162 broadcasts a 128 KiB Bloom BITMAP instead and gates
+    * the 100 TB train side map-side with pure bit arithmetic (5 xxhash64
+    * probes + shift/mask per shingle, all codegen'd); only the gated
+    * survivors — true hits plus an fpp-bounded trickle of false
+    * positives — reach the exact verification join, which re-checks them
+    * against the eval shingles and computes the same per-doc counts as
+    * q76. A Bloom filter has NO false negatives (every inserted
+    * shingle's k bits are set), so the gate is sound: survivors ⊇ true
+    * hits, the verify join discards the false positives, and the result
+    * equals q76 row for row — the oracle is therefore the EXACT q76 SQL,
+    * exactly as q121's oracle is the exact heavy-hitter query.
+    *
+    * Scale shape: bitmap build is eval-sized (benchmark, not corpus)
+    * and ends in a BOUNDED driver collect (≤ 128 KiB regardless of
+    * corpus — the q121 sketch-cells discipline) whose dense form ships
+    * to executors as one shared array literal; the train side stays one
+    * map-side codegen'd scan; the verify join's left side shrinks from
+    * every train shingle to the gated survivors before the
+    * benchmark-sized broadcast hash join. CurationSpec pins gate
+    * soundness (bloom path == q76 exactly) and the fpp bound on the
+    * fixture.
+    */
+  def q162DecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sh5 = shingles5(docs)
+    val evalSh = sh5.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
+    // Build: distinct bit positions of the eval shingles → per-word OR →
+    // a bounded driver-side collect of the set words (≤ m/64 = 16384
+    // longs = 128 KiB whatever the corpus — the q121 CM-sketch-cells
+    // collect discipline, Sketches.scala:93), densified and inlined as
+    // ONE array literal. Inlining matters: a crossJoin with a one-row
+    // bitmap frame materializes the 128 KiB array into EVERY joined
+    // train-shingle row before the filter projects it away — measured at
+    // sf0.1 as 12.3 s vs 1.5 s for the literal form, whose constant
+    // ArrayData is shared by reference inside whole-stage codegen.
+    val nWords = bloomBits / 64
+    val setWords = evalSh
+      .select(explode(expr(bloomPosExpr("shingle"))).as("pos")).distinct()
+      .select((col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dense: Array[Long] = Array.tabulate(nWords)(i => setWords.getOrElse(i, 0L))
+    // Gate: all k probed bits set. element_at is 1-based; positions are
+    // 0-based words.
+    val gated = trainSh
+      .withColumn("bloom", typedlit(dense.toSeq))
+      .filter(expr(s"forall(${bloomPosExpr("shingle")}, " +
+        "p -> (shiftright(element_at(bloom, CAST(p DIV 64 AS INT) + 1), " +
+        "CAST(p % 64 AS INT)) & 1) = 1)"))
+      .select(col("doc_id"), col("shingle"))
+    // Exact verify on the survivors — q76's join, fed ~true-hits rows.
+    val hits = gated.join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("n_hit_shingles"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_shingles"), lit(0L)).as("n_hit_shingles"),
+        coalesce(col("n_eval_docs"), lit(0L)).as("n_eval_docs"),
+        (coalesce(col("n_hit_shingles"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle = the EXACT decontamination query (q76Sql): the Bloom bitmap
+    * is a gate, not an approximation of the output — soundness + exact
+    * verify make the two answers identical by construction.
+    */
+  val q162Sql: String = q76Sql
+
   /** Repetition scoring (the Gopher-style quality signal): per document,
     * the fraction of word 2-grams that are repeats of an earlier 2-gram
     * (1 − distinct/total) and the highest single-2-gram share. Exact
@@ -1022,6 +1120,7 @@ object Curation {
     "q74_stratified_sample" -> (q74StratifiedSample _),
     "q75_token_shards" -> (q75TokenShards _),
     "q76_decontaminate" -> (q76Decontaminate _),
+    "q162_decontaminate_bloom" -> (q162DecontaminateBloom _),
     "q77_repetition" -> (q77Repetition _),
     "q80_split_assign" -> (q80SplitAssign _),
     "q83_shard_text" -> (q83ShardText _),
@@ -1038,6 +1137,7 @@ object Curation {
     "q74_stratified_sample" -> q74Sql,
     "q75_token_shards" -> q75Sql,
     "q76_decontaminate" -> q76Sql,
+    "q162_decontaminate_bloom" -> q162Sql,
     "q77_repetition" -> q77Sql,
     "q80_split_assign" -> q80Sql,
     "q83_shard_text" -> q83Sql,

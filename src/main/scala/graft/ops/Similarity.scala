@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables.t
 
@@ -1312,10 +1312,7 @@ object Similarity {
                                pqBits: Int = graft.functions.Hyperplanes.pqBits): (DataFrame, DataFrame) = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
-    // Subvectors: one row per (vector, subspace), sub = 8-dim slice.
-    val subs = emb.select(col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
-        .as(Seq("m", "sub")))
+    val subs = pqSubsOf(emb)
     // Seed partition + fixed-point centroids (the q58 integer-mean trick,
     // per (subspace, cell) instead of per cell).
     val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
@@ -1327,19 +1324,36 @@ object Similarity {
       .groupBy(col("m"), col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
       .select(col("m"), col("cell0").as("cell"), col("centroid"))
-    // Encode: one Lloyd step — max-dot centroid per (vector, subspace),
-    // tie to the lowest cell. max_by on (score, -cell) is a single
-    // partial-aggregated pass (no n·M·K window shuffle); the K=16
-    // centroids broadcast.
-    val codes = subs.join(broadcast(cents), Seq("m"))
+    (cents, pqEncode(subs, cents))
+  }
+
+  /** Subvectors of an (vec_id, emb array<double>) frame: one row per
+    * (vector, subspace), sub = the pqSubDim-dim slice.
+    */
+  private[graft] def pqSubsOf(emb: DataFrame): DataFrame = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    emb.select(col("vec_id"),
+      posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
+        .as(Seq("m", "sub")))
+  }
+
+  /** Encode: one Lloyd step — max-dot centroid per (vector, subspace),
+    * tie to the lowest cell. max_by on (score, -cell) is a single
+    * partial-aggregated pass (no n·M·K window shuffle); the codebook
+    * broadcasts. Factored from [[pqModelOn]] so the PQ index write can
+    * encode an APPEND batch against the index's persisted codebook — the
+    * incremental-maintenance discipline (a retrained codebook would
+    * silently shift every resident code).
+    */
+  private[graft] def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("m"))
       .select(col("vec_id"), col("m"), col("cell"),
         expr("graft_dot(sub, centroid)").as("sc"))
       .groupBy(col("vec_id"), col("m"))
       .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
-    (cents, codes)
-  }
 
   def q154AnnPqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -1366,28 +1380,37 @@ object Similarity {
     * directly.
     */
   private def pqLutDf(emb: DataFrame, cents: DataFrame,
-                      pqBits: Int = graft.functions.Hyperplanes.pqBits): DataFrame = {
+                      pqBits: Int = graft.functions.Hyperplanes.pqBits,
+                      queryFilter: Column = col("vec_id") < 20): DataFrame = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     val K = 1 << pqBits
     // The codebook is SPARSE: a (m, cell) seed pattern no vector hits has
     // no centroid (q156's residual cells can be empty at some SFs). The
     // LUT must still be a DENSE M×K array — the serving fold indexes it
-    // m·K + code positionally — so absent entries pin 0.0 explicitly. A
-    // compacted collect_list would silently shift every later index
-    // (codes never reference an absent cell, so the 0.0 is never read;
-    // it only keeps the positions honest).
-    emb.filter(col("vec_id") < 20)
+    // m·K + code positionally — so absent entries pin 0.0 explicitly.
+    // Densify the CODEBOOK (an M×K grid left-joined to cents, tiny and
+    // query-independent) rather than each query's lookup map: the first
+    // formulation assembled the dense array with try_element_at over a
+    // 2048-entry MAP per slot — a linear scan, O((M·K)²) per query —
+    // invisible at q154's 20 probes, measured as the q164 batch probe's
+    // dominant cost at 6k probes. Here every query gets exactly M·K
+    // (slot, lv) rows (absent cells pin lv = 0.0 without a dot) and the
+    // dense array is one positional sort-assemble, the codes-assembly
+    // idiom.
+    val grid = emb.sparkSession.range(M.toLong * K)
+      .select((col("id") / K).cast("int").as("m"), (col("id") % K).cast("int").as("cell"))
+    val denseCents = grid.join(cents, Seq("m", "cell"), "left")
+    emb.filter(queryFilter)
       .select(col("vec_id").as("query_id"),
         posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
           .as(Seq("m", "qsub")))
-      .join(broadcast(cents), Seq("m"))
+      .join(broadcast(denseCents), Seq("m"))
       .select(col("query_id"), (col("m") * K + col("cell")).cast("int").as("slot"),
-        expr("graft_dot(qsub, centroid)").as("lv"))
+        when(col("centroid").isNull, lit(0.0d))
+          .otherwise(expr("graft_dot(qsub, centroid)")).as("lv"))
       .groupBy(col("query_id"))
-      .agg(map_from_entries(collect_list(struct(col("slot"), col("lv")))).as("lm"))
-      .select(col("query_id"),
-        expr(s"transform(sequence(0, ${M * K - 1}), i -> coalesce(try_element_at(lm, CAST(i AS INT)), CAST(0 AS DOUBLE)))").as("lut"))
+      .agg(expr("transform(array_sort(collect_list(struct(slot, lv))), e -> e.lv)").as("lut"))
   }
 
   /** The PQ serving tail shared by q154/q155: 32-deep per-query ADC
@@ -1397,15 +1420,25 @@ object Similarity {
     * → 0.47 at depth 32), then the exact top-5 rerank, with the adc score
     * that ranked the shortlist emitted next to the exact cosine.
     */
-  private def pqAdcRerank(emb: DataFrame, adc: DataFrame): DataFrame = {
+  private def pqAdcRerank(emb: DataFrame, adc: DataFrame): DataFrame =
+    pqAdcRerankOn(emb.filter(col("vec_id") < 20), emb, adc)
+
+  /** [[pqAdcRerank]] with the two float stores split: `queryEmb` is the
+    * (small, broadcast) probe side, `corpusEmb` the cold neighbor-vector
+    * store the shortlist reads from — the q164 index probe reranks
+    * against the corpus floats that deliberately do NOT live in its
+    * PQ-coded index rows.
+    */
+  private def pqAdcRerankOn(queryEmb: DataFrame, corpusEmb: DataFrame,
+                            adc: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val short = adc
       .withColumn("srn", row_number().over(
         W.partitionBy(col("query_id")).orderBy(col("adc").desc, col("neighbor_id").asc)))
       .filter(col("srn") <= 32)
     short
-      .join(emb.as("ne"), col("neighbor_id") === col("ne.vec_id"))
-      .join(broadcast(emb.filter(col("vec_id") < 20).as("qe")), col("query_id") === col("qe.vec_id"))
+      .join(corpusEmb.as("ne"), col("neighbor_id") === col("ne.vec_id"))
+      .join(broadcast(queryEmb.as("qe")), col("query_id") === col("qe.vec_id"))
       .select(col("query_id"), col("neighbor_id"), col("adc"),
         expr("graft_dot(qe.emb, ne.emb)").as("cosine"))
       .withColumn("rank", row_number().over(
@@ -1535,7 +1568,8 @@ object Similarity {
     * queries against the residual codebook).
     */
   private def pqCteSql(from: String, vec: String,
-                       pqBits: Int = graft.functions.Hyperplanes.pqBits): String = {
+                       pqBits: Int = graft.functions.Hyperplanes.pqBits,
+                       queryPred: String = "q.vec_id < 20"): String = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     val sd = H.pqSubDim
@@ -1564,12 +1598,12 @@ object Similarity {
          SELECT q.vec_id AS query_id, c.m, c.cell,
                 list_reduce([CAST(q.embedding[c.m * $sd + i] AS DOUBLE) * c.centroid[i]
                              FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) AS lv
-         FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20),
+         FROM embeddings q CROSS JOIN cent c WHERE $queryPred),
        lutgrid AS (
          SELECT q.vec_id AS query_id, mm.m, kk.cell
          FROM embeddings q, generate_series(0, ${M - 1}) AS mm(m),
               generate_series(0, ${(1 << pqBits) - 1}) AS kk(cell)
-         WHERE q.vec_id < 20),
+         WHERE $queryPred),
        lut AS (SELECT g.query_id, list(COALESCE(l.lv, 0.0) ORDER BY g.m, g.cell) AS lut
                FROM lutgrid g LEFT JOIN lutrows l
                  ON l.query_id = g.query_id AND l.m = g.m AND l.cell = g.cell
@@ -1889,6 +1923,266 @@ object Similarity {
        $pqTailSql"""
   }
 
+  // ------------------------------------------------------------------
+  // PQ-coded persisted ANN index (q163 build / q164 probe): the q140
+  // index discipline with the hot rows shrunk from a 512-byte float
+  // vector to an 8-byte PQ8 code.
+  // ------------------------------------------------------------------
+
+  /** q163/q164 index geometry: the same held-L 16×14 decade posture as
+    * q140 (bucket side) + PQ8 codes (payload side). The payload move is
+    * the point: q140's bucket rows carry the full 64-dim double vector
+    * (512 B) so scoring never leaves the index; q163's rows carry the
+    * 8-byte PQ8 code instead — 64× less hot index I/O — and scoring
+    * happens in ADC space (8 LUT lookups + 7 adds per candidate) with
+    * only the 32-deep per-query shortlist ever touching the cold float
+    * store. At 100 TB of embeddings (~1.5e11 vectors), the q140 layout's
+    * index is ~1.2 PB hot (16 tables × 512 B); this one is ~19 TB hot —
+    * the difference between an index that must live on the data lake and
+    * one that fits a serving tier's NVMe.
+    */
+  private val annPqGeometry: (Int, Int) = (14, 16)
+  private val annPqBits = 8
+
+  /** Deterministic per-corpus PQ-index location (tmpdir-scoped, distinct
+    * from [[annIndexPath]] so the two index families never collide).
+    */
+  def annPqIndexPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_annpq_index_${Integer.toHexString(dir.hashCode)}"
+
+  /** Write (or append to) a PQ-coded ANN index: LSH bucket rows exactly
+    * like [[annIndexWrite]] — (tbl, bgrp) directory layer, sorted full
+    * bucket column, `_geometry` record — but each row carries the
+    * vector's PQ8 `codes` (M small ints, 8 B) instead of its floats.
+    * The trained codebook is persisted next to the geometry under
+    * `_codebook` (m, cell, centroid, pq_bits), because the codebook IS
+    * part of the index: a probe must build its LUTs against the exact
+    * centroids the resident codes were assigned to.
+    *
+    * Appends follow the incremental discipline on BOTH learned
+    * structures: the batch is hashed with the recorded geometry (fail
+    * fast on mismatch, as [[annIndexWrite]]) and encoded against the
+    * PERSISTED codebook — never retrained, which would silently shift
+    * every resident code's meaning. Codebook drift under distribution
+    * shift is a rebuild decision, not an append side effect.
+    */
+  def annPqIndexWrite(vecs: DataFrame, path: String,
+                      mode: String = "overwrite",
+                      bitsPerTable: Int = annPqGeometry._1,
+                      numTables: Int = annPqGeometry._2,
+                      pqBits: Int = annPqBits): Unit = {
+    val s = vecs.sparkSession
+    graft.functions.VectorExpressions.register(s)
+    val cbPath = s"$path/_codebook"
+    val cbExists = java.nio.file.Files.exists(java.nio.file.Paths.get(cbPath))
+    if (mode == "append") {
+      indexGeometry(s, path).foreach { existing =>
+        require(existing == ((bitsPerTable, numTables)),
+          s"append geometry ($numTables x $bitsPerTable) != index geometry $existing at $path")
+      }
+      if (cbExists) {
+        val recorded = s.read.parquet(cbPath).select(max(col("pq_bits"))).head().getInt(0)
+        require(recorded == pqBits,
+          s"append pq_bits ($pqBits) != index codebook pq_bits ($recorded) at $path")
+      }
+    }
+    val cents =
+      if (mode == "append" && cbExists)
+        s.read.parquet(cbPath).select(col("m"), col("cell"), col("centroid"))
+      else pqModelOn(vecs, pqBits)._1
+    val codes = pqEncode(pqSubsOf(vecs), cents)
+    val grpBits = indexGrpBits(bitsPerTable)
+    vecs.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("codes"), posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)))
+        .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("codes"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("int").as("bucket"))
+      .withColumn("bgrp", col("bucket").bitwiseAND(lit((1 << grpBits) - 1)))
+      .repartition(col("tbl"), col("bgrp"))
+      .sortWithinPartitions(col("tbl"), col("bgrp"), col("bucket"))
+      .write.mode(mode).partitionBy("tbl", "bgrp").parquet(path)
+    s.range(1)
+      .select(lit(bitsPerTable).as("bits"), lit(numTables).as("tables"))
+      .write.mode("overwrite").parquet(s"$path/_geometry")
+    if (!(mode == "append" && cbExists))
+      cents.withColumn("pq_bits", lit(pqBits))
+        .write.mode("overwrite").parquet(cbPath)
+    Similarity.synchronized { builtIndexPaths += path }
+  }
+
+  /** Probe a PQ-coded index with a new batch: hash ONLY the batch with
+    * the recorded geometry, broadcast its bucket keys against the pruned
+    * index scan (the [[annIndexProbe]] candidate discipline), then score
+    * in ADC space — per-probe LUTs from the PERSISTED codebook, 8
+    * lookups + 7 adds per candidate over the 8-byte resident codes — and
+    * exact-rerank only the 32-deep shortlist against `coldVecs`, the
+    * float store that deliberately does NOT live in the index.
+    *
+    * The LUT join is a plain key join, not a broadcast: each LUT row is
+    * M·2^pqBits doubles (16 KiB at PQ8), so a broadcast scales with the
+    * batch — fine nightly, wrong for the registered fixture where the
+    * batch is 10% of the corpus. Candidates and LUTs are both keyed by
+    * query_id, and the shortlist window that follows shuffles on
+    * query_id anyway, so the join rides the same partitioning.
+    *
+    * Dedup happens BEFORE scoring here (inverted from
+    * [[annIndexProbe]] — see the inline comment): ADC needs the LUT row
+    * attached, so the distinct runs while the candidate tuple is still
+    * just (query, neighbor, codes).
+    */
+  def annPqIndexProbe(s: SparkSession, indexPath: String,
+                      newVecs: DataFrame, coldVecs: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val H = graft.functions.Hyperplanes
+    val index = s.read.parquet(indexPath)
+    val (bitsPerTable, numTables) = indexGeometry(s, indexPath).getOrElse(annPqGeometry)
+    val cb = s.read.parquet(s"$indexPath/_codebook")
+    val pqBits = cb.select(max(col("pq_bits"))).head().getInt(0)
+    val cents = cb.select(col("m"), col("cell"), col("centroid"))
+    val M = H.pqM
+    val K = 1 << pqBits
+    val probeSigs = newVecs
+      .select(col("vec_id"), posexplode(
+        expr(H.sparkBucketsExpr("emb", bitsPerTable, numTables)))
+        .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket").cast("int").as("bucket"))
+      .withColumn("bgrp", col("bucket")
+        .bitwiseAND(lit((1 << indexGrpBits(bitsPerTable)) - 1)))
+    // Dedup BEFORE the LUT join — the opposite order from
+    // [[annIndexProbe]], and for the same materialization reason
+    // inverted: there the score was cheap and the payload (the float
+    // vector) already sat in the candidate row, so scoring first kept
+    // the dedup tuples at 24 bytes; here scoring needs the 16 KiB LUT
+    // row attached, so a pair surfacing in k ≤ 16 tables would
+    // materialize k copies of its query's LUT through the join buffer.
+    // Distinct first shrinks that to one (the candidate tuple is
+    // query + neighbor + the 8-byte codes — still narrow).
+    val cands = broadcast(probeSigs.as("q"))
+      .join(index.as("n"),
+        col("q.tbl") === col("n.tbl") && col("q.bgrp") === col("n.bgrp") &&
+          col("q.bucket") === col("n.bucket") &&
+          col("q.vec_id") =!= col("n.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("n.vec_id").as("neighbor_id"),
+        col("n.codes").as("codes"))
+      .distinct()
+    val lut = pqLutDf(newVecs, cents, pqBits, queryFilter = lit(true))
+    val adc = cands.join(lut, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
+    pqAdcRerankOn(newVecs, coldVecs, adc)
+  }
+
+  /** Build the q163/q164 fixture index lazily once per SF dir — the
+    * [[ensureQ140Index]] reuse/staleness discipline, plus the codebook
+    * in the completeness check (an index with codes but no `_codebook`
+    * cannot be probed).
+    */
+  private def ensureQ163Index(s: SparkSession, dir: String): String = {
+    val path = annPqIndexPath(dir)
+    val done = java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")) &&
+      (try {
+        val fields = s.read.parquet(path).schema.fieldNames
+        fields.contains("codes") && fields.contains("bgrp")
+      } catch { case _: Throwable => false }) &&
+      indexGeometry(s, path).contains(annPqGeometry) &&
+      (try {
+        s.read.parquet(s"$path/_codebook").select(max(col("pq_bits"))).head().getInt(0) == annPqBits
+      } catch { case _: Throwable => false })
+    if (!done) {
+      val corpus = t(s, dir, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .filter(col("vec_id") % 10 =!= 0)
+      annPqIndexWrite(corpus, path)
+    } else Similarity.synchronized { builtIndexPaths += path }
+    path
+  }
+
+  /** The MAINTENANCE side of q164 (the q144 pattern, audit-marked in
+    * `SparkEntry.auditBaselines`): rebuild the PQ-coded corpus index from
+    * scratch — codebook training + encode + 16-table bucket write — and
+    * return per-table occupancy PLUS a codes checksum (Σ over rows of
+    * Σ_m codes[m]·(m+1)), so the oracle structurally pins not just the
+    * bucket layout but the resident CODES: DuckDB retrains the codebook
+    * and re-encodes every vector from the shared seed planes and must
+    * agree on the folded sum per table.
+    */
+  def q163AnnPqIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val corpus = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      .filter(col("vec_id") % 10 =!= 0)
+    val path = annPqIndexPath(dir)
+    annPqIndexWrite(corpus, path)
+    s.read.parquet(path)
+      .groupBy(col("tbl"))
+      .agg(countDistinct(col("bucket")).as("n_buckets"), count(lit(1)).as("n_rows"),
+        sum(expr(s"aggregate(sequence(0, ${graft.functions.Hyperplanes.pqM - 1}), CAST(0 AS BIGINT), (acc, mm) -> acc + codes[mm] * (mm + 1))")).as("code_sum"))
+      .orderBy(col("tbl"))
+  }
+
+  def q163Sql: String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val sig = H.duckBucketsSql("embedding", annPqGeometry._1, annPqGeometry._2)
+    val nt = annPqGeometry._2
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       ${pqCteSql("corp", "embedding", annPqBits, "q.vec_id % 10 = 0")},
+       csum AS (SELECT CAST(SUM(list_reduce([codes[mm + 1] * (mm + 1)
+                         FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v)) AS BIGINT) AS code_sum
+                FROM codes),
+       sig AS (SELECT vec_id, $sig AS sig FROM embeddings WHERE vec_id % 10 <> 0)
+       SELECT CAST(t.i - 1 AS INT) AS tbl,
+              COUNT(DISTINCT sig[t.i]) AS n_buckets,
+              COUNT(*) AS n_rows,
+              (SELECT code_sum FROM csum) AS code_sum
+       FROM sig, generate_series(1, $nt) AS t(i)
+       GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Registered end-to-end posture: probe the persisted PQ-coded corpus
+    * index (vec_id % 10 != 0) with the new batch (vec_id % 10 == 0) —
+    * the q140 fixture convention, so the two index families' probes are
+    * directly comparable. The DuckDB oracle recomputes EVERYTHING from
+    * the shared seed planes — signatures, codebook, codes, LUTs, ADC
+    * folds, shortlist, rerank — with no index anywhere; a hash match
+    * proves the persisted codes + codebook + buckets serve exactly what
+    * a from-scratch computation would.
+    */
+  def q164AnnPqIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val path = ensureQ163Index(s, dir)
+    annPqIndexProbe(s, path,
+      newVecs = emb.filter(col("vec_id") % 10 === 0),
+      coldVecs = emb.filter(col("vec_id") % 10 =!= 0))
+  }
+
+  def q164Sql: String = {
+    val H = graft.functions.Hyperplanes
+    val M = H.pqM
+    val K = 1 << annPqBits
+    val sig = H.duckBucketsSql("embedding", annPqGeometry._1, annPqGeometry._2)
+    val nt = annPqGeometry._2
+    s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
+       ${pqCteSql("corp", "embedding", annPqBits, "q.vec_id % 10 = 0")},
+       sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
+       cands AS (
+         SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM sig q JOIN sig n ON q.vec_id <> n.vec_id
+         WHERE q.vec_id % 10 = 0 AND n.vec_id % 10 <> 0
+           AND list_contains([q.sig[i] = n.sig[i] FOR i IN generate_series(1, $nt)], true)),
+       adc AS (
+         SELECT ca.query_id, ca.neighbor_id,
+                list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
+                             FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
+         FROM cands ca JOIN codes c ON ca.neighbor_id = c.vec_id
+              JOIN lut l ON l.query_id = ca.query_id),
+       $pqTailSql"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_hybrid_retrieval" -> (q125HybridRetrieval _),
     "q124_hard_negatives" -> (q124HardNegatives _),
@@ -1908,7 +2202,9 @@ object Similarity {
     "q156_ann_ivfpq_residual" -> (q156AnnIvfPqResidual _),
     "q159_ann_pq8" -> (q159AnnPq8 _),
     "q160_ann_pq8_hier" -> (q160AnnPq8Hier _),
-    "q161_ann_pq8_hier_beam" -> (q161AnnPq8HierBeam _))
+    "q161_ann_pq8_hier_beam" -> (q161AnnPq8HierBeam _),
+    "q163_ann_pq_index_build" -> (q163AnnPqIndexBuild _),
+    "q164_ann_pq_index_probe" -> (q164AnnPqIndexProbe _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -1929,5 +2225,7 @@ object Similarity {
     "q156_ann_ivfpq_residual" -> q156Sql,
     "q159_ann_pq8" -> q159Sql,
     "q160_ann_pq8_hier" -> q160Sql,
-    "q161_ann_pq8_hier_beam" -> q161Sql)
+    "q161_ann_pq8_hier_beam" -> q161Sql,
+    "q163_ann_pq_index_build" -> q163Sql,
+    "q164_ann_pq_index_probe" -> q164Sql)
 }

@@ -26,6 +26,58 @@ class CurationSpec extends SparkSpec {
     byCluster.foreach { case (cid, minMember) => assert(cid == minMember) }
   }
 
+  test("q162 bloom-gated decontamination == q76 exact (gate soundness), non-vacuously") {
+    val exact = ops.Curation.q76Decontaminate(spark, sfDir).collect()
+    val bloom = ops.Curation.q162DecontaminateBloom(spark, sfDir).collect()
+    assert(bloom.toSeq == exact.toSeq)
+    // Non-vacuous: the fixture must actually contain contamination, or
+    // the equality proves nothing about the hit path.
+    assert(exact.count(_.getBoolean(3)) > 0, "no contaminated docs in fixture")
+  }
+
+  test("q162 bloom gate has no false negatives and a bounded false-positive rate on the fixture") {
+    import ops.Curation.{bloomBits, bloomHashes}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Recreate the gate's survivor set directly: every true-hit shingle
+    // must survive (soundness is structural — inserted keys always test
+    // positive), and survivors that are NOT true hits must be a small
+    // fraction of the train shingle universe (fpp ≈ (1 - e^(-kn/m))^k).
+    val posExpr = s"transform(sequence(0, ${bloomHashes - 1}), i -> CAST(pmod(xxhash64(i, shingle), $bloomBits) AS INT))"
+    val sh = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode_outer(expr(
+        """array_distinct(IF(size(toks) >= 5,
+              transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5))),
+              array()))""")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val evalSh = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
+    val trainSh = sh.filter(col("doc_id") % 97 =!= 0).select("shingle").distinct()
+    val evalSet = evalSh.as[String].collect().toSet
+    val nWords = bloomBits / 64
+    val bloomArr = evalSh
+      .select(explode(expr(posExpr)).as("pos")).distinct()
+      .select((col("pos") / 64).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
+      .as[(Int, Long)].collect().toMap
+    val dense = Array.tabulate(nWords)(i => bloomArr.getOrElse(i, 0L))
+    val survivors = trainSh.crossJoin(
+        broadcast(Seq(dense.toSeq).toDF("bloom")))
+      .filter(expr(s"forall($posExpr, " +
+        "p -> (shiftright(element_at(bloom, CAST(p DIV 64 AS INT) + 1), " +
+        "CAST(p % 64 AS INT)) & 1) = 1)"))
+      .select("shingle").as[String].collect().toSet
+    val trainAll = trainSh.as[String].collect().toSet
+    val trueHits = trainAll.intersect(evalSet)
+    assert(trueHits.subsetOf(survivors), "bloom gate dropped a true hit — unsound")
+    val falsePos = survivors -- trueHits
+    val n = evalSet.size.toDouble
+    val expectedFpp = math.pow(1 - math.exp(-bloomHashes * n / bloomBits), bloomHashes)
+    // Generous 100× headroom over the analytic fpp plus a 10-count floor
+    // (tiny fixtures make ratios noisy).
+    assert(falsePos.size <= math.max(10.0, 100 * expectedFpp * trainAll.size),
+      s"fpp blowout: ${falsePos.size} false positives over ${trainAll.size} shingles")
+  }
+
   test("boilerplate strip (q109) reconciles with chunk dedup (q89): same chunking, strictly harsher policy") {
     val strip = ops.Curation.q109BoilerplateStrip(spark, sfDir)
       .select("doc_id", "n_chunks", "n_removed").as[(Long, Long, Long)]

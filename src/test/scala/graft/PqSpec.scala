@@ -179,6 +179,50 @@ class PqSpec extends SparkSpec {
     assert(r2 > 0.55, s"beam-2 recall $r2 vs exact top-5")
   }
 
+  test("q163/q164 PQ index: append reuses the persisted codebook, appended twins serve identically, mismatches fail fast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("pqidx").toString + "/idx"
+    ops.Similarity.annPqIndexWrite(corpus, path)
+    val cbBefore = spark.read.parquet(s"$path/_codebook")
+      .orderBy("m", "cell").collect().toSeq
+    // Append exact clones of resident vectors under fresh ids: with the
+    // PERSISTED codebook (never retrained on append) a clone must land
+    // in its twin's buckets with its twin's codes — the serving-equality
+    // proof, since a probe is a pure function of (bucket rows, codebook,
+    // batch).
+    val clones = corpus.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("emb"))
+    ops.Similarity.annPqIndexWrite(clones, path, mode = "append")
+    val cbAfter = spark.read.parquet(s"$path/_codebook")
+      .orderBy("m", "cell").collect().toSeq
+    assert(cbBefore == cbAfter, "append retrained / rewrote the codebook")
+    val idx = spark.read.parquet(path)
+    val twin = idx.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("tbl"), col("bucket"), col("codes"))
+    val cl = idx.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"), col("tbl"),
+        col("bucket").as("c_bucket"), col("codes").as("c_codes"))
+    val joined = twin.join(cl, Seq("vec_id", "tbl")).cache()
+    try {
+      val n = twin.count()
+      assert(n > 0 && joined.count() == n, "clone rows missing from the appended index")
+      assert(joined.filter(col("bucket") =!= col("c_bucket") ||
+        col("codes") =!= col("c_codes")).count() == 0,
+        "a clone's bucket or codes diverge from its resident twin")
+    } finally joined.unpersist()
+    // Geometry and codebook dials are part of the index: mismatched
+    // appends must fail fast, not silently mis-hash/mis-encode.
+    intercept[IllegalArgumentException] {
+      ops.Similarity.annPqIndexWrite(clones, path, mode = "append",
+        bitsPerTable = 4, numTables = 16)
+    }
+    intercept[IllegalArgumentException] {
+      ops.Similarity.annPqIndexWrite(clones, path, mode = "append", pqBits = 4)
+    }
+  }
+
   test("q154 PQ pipeline keeps a recall floor vs the exact q55 top-5") {
     val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
