@@ -340,25 +340,37 @@ object Curation {
        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
        WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id"""
 
-  /** Bloom bitmap geometry for q162: m = 2^20 bits (a 128 KiB broadcast,
-    * 16384 longs) probed at k = 5 positions per shingle. At the fixture's
-    * eval-shingle counts the fill is negligible; at a REAL benchmark
-    * suite (say n = 10^7 eval shingles) the same m gives fill
-    * 1 − e^(−kn/m) ≈ 1, so production steps m with the suite:
-    * m ≈ 1.44·k·n keeps fpp = (1 − e^(−kn/m))^k ≈ 0.03 at ~9 MB — still
-    * two orders under the raw shingle-set broadcast the gate replaces.
+  /** Bloom bitmap geometry for q162: k = 5 probe positions per shingle,
+    * and m stepped WITH the eval suite — a fixed m saturates as the
+    * benchmark grows (fill 1 − e^(−kn/m) → 1 ⇒ the gate passes
+    * everything and q162 silently degenerates to q76 plus overhead).
+    * [[bloomBitsFor]] picks the next power of two ≥ 1.44·k·n (the
+    * classic optimal-fill sizing: fill ≈ 0.5 at m = 1.44·k·n, pow-2
+    * rounding only lowers it), floored at 2^20 (128 KiB) and capped at
+    * 2^27 (16 MB inlined literal — beyond that a real deployment ships
+    * the bitmap as a broadcast variable or shards the eval suite; at
+    * n = 10^7 eval shingles the cap gives fill ≈ 0.42, fpp ≈ 1.2%).
+    * n may be an upper bound (q162 passes the per-doc-distinct row
+    * count, avoiding an eval-side distinct shuffle) — oversizing m only
+    * lowers fpp.
     */
-  private[graft] val bloomBits = 1 << 20
   private[graft] val bloomHashes = 5
+
+  private[graft] def bloomBitsFor(nShingles: Long): Int = {
+    val target = math.max(1L << 20, (1.44 * bloomHashes * nShingles).toLong)
+    var m = 1L << 20
+    while (m < target && m < (1L << 27)) m <<= 1
+    m.toInt
+  }
 
   /** The k xxhash64-derived bit positions of `shingle` in [0, m): the
     * hash index i is xxhash64's leading argument, so the k probes are
     * independent single-pass hashes of the same string — all inside
     * whole-stage codegen, no UDF.
     */
-  private def bloomPosExpr(shingleCol: String): String =
+  private[graft] def bloomPosExpr(shingleCol: String, mBits: Int): String =
     s"transform(sequence(0, ${bloomHashes - 1}), " +
-      s"i -> CAST(pmod(xxhash64(i, $shingleCol), $bloomBits) AS INT))"
+      s"i -> CAST(pmod(xxhash64(i, $shingleCol), $mBits) AS INT))"
 
   /** q162 — Bloom-gated decontamination: the q121 sketch-gate doctrine
     * (sound gate → exact verify on survivors → the output IS the exact
@@ -393,18 +405,22 @@ object Curation {
     val evalSh = sh5.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val trainSh = sh5.filter(col("doc_id") % 97 =!= 0)
+    // Size m to the eval suite (an eval-side count, benchmark-scale; the
+    // per-doc-distinct row count upper-bounds the distinct-shingle count
+    // so no extra distinct shuffle is paid).
+    val bloomBits = bloomBitsFor(evalSh.count())
     // Build: distinct bit positions of the eval shingles → per-word OR →
-    // a bounded driver-side collect of the set words (≤ m/64 = 16384
-    // longs = 128 KiB whatever the corpus — the q121 CM-sketch-cells
+    // a bounded driver-side collect of the set words (≤ m/64 longs,
+    // 128 KiB–16 MB across the m dial — the q121 CM-sketch-cells
     // collect discipline, Sketches.scala:93), densified and inlined as
     // ONE array literal. Inlining matters: a crossJoin with a one-row
-    // bitmap frame materializes the 128 KiB array into EVERY joined
+    // bitmap frame materializes the whole array into EVERY joined
     // train-shingle row before the filter projects it away — measured at
     // sf0.1 as 12.3 s vs 1.5 s for the literal form, whose constant
     // ArrayData is shared by reference inside whole-stage codegen.
     val nWords = bloomBits / 64
     val setWords = evalSh
-      .select(explode(expr(bloomPosExpr("shingle"))).as("pos")).distinct()
+      .select(explode(expr(bloomPosExpr("shingle", bloomBits))).as("pos")).distinct()
       .select((col("pos") / 64).cast("int").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
       .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
@@ -414,7 +430,7 @@ object Curation {
     // 0-based words.
     val gated = trainSh
       .withColumn("bloom", typedlit(dense.toSeq))
-      .filter(expr(s"forall(${bloomPosExpr("shingle")}, " +
+      .filter(expr(s"forall(${bloomPosExpr("shingle", bloomBits)}, " +
         "p -> (shiftright(element_at(bloom, CAST(p DIV 64 AS INT) + 1), " +
         "CAST(p % 64 AS INT)) & 1) = 1)"))
       .select(col("doc_id"), col("shingle"))

@@ -36,13 +36,12 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q162 bloom gate has no false negatives and a bounded false-positive rate on the fixture") {
-    import ops.Curation.{bloomBits, bloomHashes}
+    import ops.Curation.{bloomBitsFor, bloomHashes, bloomPosExpr}
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     // Recreate the gate's survivor set directly: every true-hit shingle
     // must survive (soundness is structural — inserted keys always test
     // positive), and survivors that are NOT true hits must be a small
     // fraction of the train shingle universe (fpp ≈ (1 - e^(-kn/m))^k).
-    val posExpr = s"transform(sequence(0, ${bloomHashes - 1}), i -> CAST(pmod(xxhash64(i, shingle), $bloomBits) AS INT))"
     val sh = docs.withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode_outer(expr(
         """array_distinct(IF(size(toks) >= 5,
@@ -52,6 +51,10 @@ class CurationSpec extends SparkSpec {
     val evalSh = sh.filter(col("doc_id") % 97 === 0).select("shingle").distinct()
     val trainSh = sh.filter(col("doc_id") % 97 =!= 0).select("shingle").distinct()
     val evalSet = evalSh.as[String].collect().toSet
+    // Size m exactly as the production gate does: from the per-doc eval
+    // row count (the distinct-free upper bound).
+    val bloomBits = bloomBitsFor(sh.filter(col("doc_id") % 97 === 0).count())
+    val posExpr = bloomPosExpr("shingle", bloomBits)
     val nWords = bloomBits / 64
     val bloomArr = evalSh
       .select(explode(expr(posExpr)).as("pos")).distinct()
@@ -60,8 +63,8 @@ class CurationSpec extends SparkSpec {
       .groupBy(col("word")).agg(expr("bit_or(bit)").as("w"))
       .as[(Int, Long)].collect().toMap
     val dense = Array.tabulate(nWords)(i => bloomArr.getOrElse(i, 0L))
-    val survivors = trainSh.crossJoin(
-        broadcast(Seq(dense.toSeq).toDF("bloom")))
+    val survivors = trainSh
+      .withColumn("bloom", typedlit(dense.toSeq))
       .filter(expr(s"forall($posExpr, " +
         "p -> (shiftright(element_at(bloom, CAST(p DIV 64 AS INT) + 1), " +
         "CAST(p % 64 AS INT)) & 1) = 1)"))
