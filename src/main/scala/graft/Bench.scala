@@ -328,7 +328,26 @@ object Bench {
       if (remeasured.isEmpty) ""
       else remeasured.map { case (k, v) => s"\"$k\":${r2(v)}" }
         .mkString(""","remeasured":{""", ",", "}")
-    println(s"""{"metric":"total","unit":"sec","audit":$auditJson,"anchors":$anchorsJson$remeasJson,"queries":$qs,"value":${r3(total)},"anchor":${r3(anchor)},"sf":"$sfDir"}""")
+    // Two emissions (VERDICT r9 item 8 — the driver's bounded stdout
+    // capture head-truncated the r9 line and lost q01-q03; r3 and r7 lost
+    // entries the same way):
+    //   1. stdout gets the MINIMAL contract line only (metric/unit/
+    //      queries/value/anchor/sf) — dropping the audit/anchors/
+    //      remeasured extras cuts ~200 bytes, which is more than the ~45
+    //      the r9 line overflowed by, so the capture holds the whole line;
+    //   2. the FULL line (extras included) goes to a side file the
+    //      close-out ritual reads for adjudication, so no information is
+    //      lost — it just stops traveling through the bounded pipe.
+    val fullLine = s"""{"metric":"total","unit":"sec","audit":$auditJson,"anchors":$anchorsJson$remeasJson,"queries":$qs,"value":${r3(total)},"anchor":${r3(anchor)},"sf":"$sfDir"}"""
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(fullPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, fullLine + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] full-line write failed ($fullPath): ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"value":${r3(total)},"anchor":${r3(anchor)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

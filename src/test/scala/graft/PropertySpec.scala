@@ -71,7 +71,10 @@ class PropertySpec extends SparkSpec {
       // q144 is the MAINTENANCE entry (index build) whose amortizing
       // partner is the q140 probe — marked so scale tooling reads its
       // cost as nightly maintenance, not per-probe (VERDICT r7 item 5).
-      "q144_ann_index_build" -> Seq("q140"))
+      "q144_ann_index_build" -> Seq("q140"),
+      // Same maintenance/probe pairing one representation down: the
+      // PQ-coded index build amortizes over q164's 8-byte-code probes.
+      "q163_ann_pq_index_build" -> Seq("q164"))
     assert(SparkEntry.auditBaselines == partners.keySet,
       s"auditBaselines drifted from the documented pairings: ${SparkEntry.auditBaselines}")
     val livePrefixes = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))

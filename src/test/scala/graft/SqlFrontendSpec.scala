@@ -65,7 +65,9 @@ class SqlFrontendSpec extends SparkSpec {
     "q152_embedding_neardup_recall", "q153_consensus_dedup_wide14",
     "q154_ann_pq_adc", "q155_ann_ivf_pq", "q156_ann_ivfpq_residual",
     "q157_embedding_neardup_wide17", "q158_consensus_dedup_wide17",
-    "q159_ann_pq8", "q160_ann_pq8_hier", "q161_ann_pq8_hier_beam")
+    "q159_ann_pq8", "q160_ann_pq8_hier", "q161_ann_pq8_hier_beam",
+    "q162_decontaminate_bloom", "q163_ann_pq_index_build",
+    "q164_ann_pq_index_probe")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
