@@ -1762,10 +1762,15 @@ object Similarity {
   def q161AnnPq8HierBeam(s: SparkSession, dir: String): DataFrame =
     pqHier8(s, dir, beam = 2)
 
-  /** Shared core of q160/q161: 8-bit PQ with two-level (16 super-groups
-    * × 16 cells) hierarchical encode, stage-1 beam width `beam`.
+  /** Shared core of q160/q161/q165: 8-bit PQ with two-level hierarchical
+    * encode — `256 / groupSize` super-groups of `groupSize` cells each —
+    * stage-1 beam width `beam`. Per-(vector, subspace) dot count is
+    * `256/groupSize + beam * groupSize`, the whole encode-cost dial.
+    * `private[graft]` so tools.PqFrontierProbe can sweep the
+    * (beam, split) plane without registering every point as a query.
     */
-  private def pqHier8(s: SparkSession, dir: String, beam: Int): DataFrame = {
+  private[graft] def pqHier8(s: SparkSession, dir: String, beam: Int,
+                             groupSize: Int = 16): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val H = graft.functions.Hyperplanes
     val M = H.pqM
@@ -1787,7 +1792,7 @@ object Similarity {
       .select(col("m"), col("cell0").as("cell"), col("centroid"))
     // Super-centroids: the group's member sums re-aggregated — exact
     // integer adds, so bit-identical in DuckDB under any grouping order.
-    val supCents = sums.withColumn("g", expr("cell0 div 16"))
+    val supCents = sums.withColumn("g", expr(s"cell0 div $groupSize"))
       .groupBy(col("m"), col("g"), col("dim"))
       .agg(sum(col("sfx")).as("sfx"), sum(col("n")).as("n"))
       .groupBy(col("m"), col("g"))
@@ -1805,7 +1810,7 @@ object Similarity {
       .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
     val hCodes = subs.join(s1, Seq("vec_id", "m"))
       .join(broadcast(cents), Seq("m"))
-      .filter(expr("cell div 16") === col("g"))
+      .filter(expr(s"cell div $groupSize") === col("g"))
       .select(col("vec_id"), col("m"), col("cell"),
         expr("graft_dot(sub, centroid)").as("sc"))
       .groupBy(col("vec_id"), col("m"))
@@ -1834,13 +1839,13 @@ object Similarity {
     */
   def q161Sql: String = pqHier8Sql(2)
 
-  private def pqHier8Sql(beam: Int): String = {
+  private def pqHier8Sql(beam: Int, groupSize: Int = 16): String = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     val sd = H.pqSubDim
     val K = 1 << 8
     s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
-       supsums AS (SELECT m, cell0 // 16 AS g, dim, SUM(sfx) AS sfx, SUM(n) AS n
+       supsums AS (SELECT m, cell0 // $groupSize AS g, dim, SUM(sfx) AS sfx, SUM(n) AS n
                    FROM sums GROUP BY 1, 2, 3),
        supcent AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
                    FROM supsums GROUP BY m, g),
@@ -1860,7 +1865,7 @@ object Similarity {
                                  FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
                     c.cell ASC) AS rn
            FROM subs s JOIN s1 USING (vec_id, m)
-                JOIN cent c ON c.m = s.m AND c.cell // 16 = s1.g) WHERE rn = 1),
+                JOIN cent c ON c.m = s.m AND c.cell // $groupSize = s1.g) WHERE rn = 1),
        hcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM h2 GROUP BY vec_id),
        adc AS (
          SELECT l.query_id, c.vec_id AS neighbor_id,

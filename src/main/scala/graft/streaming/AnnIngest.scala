@@ -78,4 +78,53 @@ object AnnIngest {
         ()
       }
       .start()
+
+  /** [[appendBatch]] for the PQ-coded index family (q163/q164's
+    * [[graft.ops.Similarity.annPqIndexWrite]]): the same commit-marker
+    * replay gate, with the batch ENCODED against the index's persisted
+    * codebook — never retrained, the append discipline the batch path
+    * already enforces, now holding per micro-batch.
+    *
+    * Codebook policy for the streaming case: the recommended bootstrap
+    * is a batch `annPqIndexWrite` over the resident corpus (so the
+    * codebook is trained on corpus-representative data), after which the
+    * stream only appends. Streaming from an EMPTY path also works — the
+    * first committed batch trains and persists the codebook — but then
+    * the codebook reflects only that batch's distribution. Either way,
+    * codebook DRIFT under distribution shift is a rebuild decision, not
+    * an append side effect: when ADC recall on fresh batches degrades
+    * past the deployment's floor, stop the stream, rebuild the index
+    * (retraining the codebook over the current corpus), and resume with
+    * a fresh checkpoint — the commit markers travel with the index path,
+    * so a rebuild naturally resets replay state too.
+    */
+  def appendPqBatch(batch: DataFrame, indexPath: String, batchId: Long,
+                    bitsPerTable: Int, numTables: Int, pqBits: Int): Boolean = {
+    val marker = Paths.get(indexPath, "_ingest", s"batch-$batchId")
+    if (Files.exists(marker)) false
+    else {
+      graft.ops.Similarity.annPqIndexWrite(batch, indexPath, mode = "append",
+        bitsPerTable = bitsPerTable, numTables = numTables, pqBits = pqBits)
+      Files.createDirectories(marker.getParent)
+      Files.write(marker, s"rows=${batch.count()}".getBytes(StandardCharsets.UTF_8))
+      true
+    }
+  }
+
+  /** Wire a streaming (vec_id, emb) frame into a PQ-coded index —
+    * [[run]]'s shape over [[appendPqBatch]]. Per-batch cost is
+    * O(batch): hash + encode the batch's vectors (the codebook and
+    * geometry are read from the index, a few KB), drop files into the
+    * existing (tbl, bgrp) tree. The resident index is never read,
+    * re-encoded, or re-shuffled.
+    */
+  def runPq(embStream: DataFrame, indexPath: String, checkpoint: String,
+            bitsPerTable: Int, numTables: Int, pqBits: Int): StreamingQuery =
+    embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        appendPqBatch(df, indexPath, id, bitsPerTable, numTables, pqBits)
+        ()
+      }
+      .start()
 }

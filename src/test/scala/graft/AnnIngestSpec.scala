@@ -68,6 +68,63 @@ class AnnIngestSpec extends SparkSpec {
     assert(dupped == baseline, "duplicated index rows changed probe results")
   }
 
+  test("PQ index: stream-fed appends probe identically to batch appends, codebook never retrained") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    // Bootstrap discipline (the scaladoc's recommended recipe): a batch
+    // build over the seed residents trains + persists the codebook; both
+    // continuations below only APPEND, encoding against that codebook.
+    val seed = corpus.filter(col("vec_id") % 3 === 0)
+    val rest = corpus.filter(col("vec_id") % 3 =!= 0)
+    val pqBits = 4
+    def bootstrap(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+      graft.ops.Similarity.annPqIndexWrite(seed, p,
+        bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+      p
+    }
+    val batchPath = bootstrap("pq_batch")
+    graft.ops.Similarity.annPqIndexWrite(rest, batchPath, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    val streamPath = bootstrap("pq_stream")
+    val cbBefore = spark.read.parquet(s"$streamPath/_codebook")
+      .orderBy("m", "cell").collect().toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_ckpt").toString
+    val src = MemoryStream[(Long, Seq[Double])](spark)
+    val q = graft.streaming.AnnIngest.runPq(
+      src.toDF().toDF("vec_id", "emb"), streamPath, ckpt, geom._1, geom._2, pqBits)
+    try {
+      val rows = rest.as[(Long, Seq[Double])].collect()
+      Seq(1L, 2L).foreach { r =>
+        src.addData(rows.filter(_._1 % 3 == r).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // Micro-batch appends must not have touched the learned structures.
+    val cbAfter = spark.read.parquet(s"$streamPath/_codebook")
+      .orderBy("m", "cell").collect().toSeq
+    assert(cbBefore == cbAfter, "streaming append retrained/rewrote the codebook")
+    assert(graft.ops.Similarity.indexGeometry(spark, streamPath).contains(geom))
+    // A probe is a pure function of (bucket rows, codebook, batch), so
+    // the two indexes must serve byte-identical results.
+    val fromBatch = graft.ops.Similarity.annPqIndexProbe(
+      spark, batchPath, probeBatch(), corpus).collect().toSeq
+    val fromStream = graft.ops.Similarity.annPqIndexProbe(
+      spark, streamPath, probeBatch(), corpus).collect().toSeq
+    assert(fromStream.nonEmpty && fromStream == fromBatch,
+      s"stream-built PQ probe diverged: ${fromStream.take(3)} vs ${fromBatch.take(3)}")
+    // Replay gate holds for the PQ appender too.
+    val rowsBefore = spark.read.parquet(streamPath).count()
+    assert(!graft.streaming.AnnIngest.appendPqBatch(
+      rest, streamPath, 0L, geom._1, geom._2, pqBits))
+    assert(spark.read.parquet(streamPath).count() == rowsBefore, "PQ replay appended rows")
+    // Codebook-dial mismatches fail fast like geometry mismatches.
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnIngest.appendPqBatch(
+        rest, streamPath, 99L, geom._1, geom._2, pqBits = 8)
+    }
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)
