@@ -1762,6 +1762,34 @@ object Similarity {
   def q161AnnPq8HierBeam(s: SparkSession, dir: String): DataFrame =
     pqHier8(s, dir, beam = 2)
 
+  /** q165 — the PQ8 posture that closes the recall/encode gap (VERDICT
+    * r9 item 5): 32 super-groups × 8 cells with ONE LLOYD ROUND on the
+    * group structure, stage-1 beam 3. The q160/q161 recall ceiling
+    * (beam-6 still 0.67 vs flat 0.73) was the seed grouping, not the
+    * beam: cells grouped by their seed high bits are geometrically
+    * arbitrary, so the stage-1 super-centroid ranking misroutes however
+    * wide the beam. Reassigning each cell-centroid to its max-dot seed
+    * super — a 256-row broadcast-scale step per subspace, independent of
+    * corpus size — makes the groups coherent, and the measured frontier
+    * (tools/PqFrontierProbe, sf0.001, 100 truth pairs) moves:
+    * seed-grouped 48–80 cells plateau at 0.63–0.69; Lloyd-grouped 32×8
+    * beam-3 reaches 0.71 at 56 cells/subspace — recall ≥ 0.7 held at
+    * Θ(n·M·56) encode, 4.6× below flat q159's Θ(n·M·256) and free of its
+    * measured 25.6× sf10 knee. This is the PQ8 family's registered 100×
+    * posture: encode is the RECURRING per-document cost at 100 TB, so
+    * the grouping refinement (paid once per codebook train) buys back
+    * the hierarchical encoder's recall loss where it is cheap, not in
+    * the per-vector hot loop.
+    */
+  def q165AnnPq8Lloyd(s: SparkSession, dir: String): DataFrame =
+    pqHier8(s, dir, beam = 3, groupSize = 8, refine = true)
+
+  /** DuckDB replica of q165 — the hierarchical CTEs at groupSize 8 plus
+    * the Lloyd-round CTEs (groups1/supcent1 from exact re-aggregated
+    * integer member sums), beam `rn <= 3`.
+    */
+  def q165Sql: String = pqHier8Sql(3, 8, refine = true)
+
   /** Shared core of q160/q161/q165: 8-bit PQ with two-level hierarchical
     * encode — `256 / groupSize` super-groups of `groupSize` cells each —
     * stage-1 beam width `beam`. Per-(vector, subspace) dot count is
@@ -1770,7 +1798,8 @@ object Similarity {
     * (beam, split) plane without registering every point as a query.
     */
   private[graft] def pqHier8(s: SparkSession, dir: String, beam: Int,
-                             groupSize: Int = 16): DataFrame = {
+                             groupSize: Int = 16,
+                             refine: Boolean = false): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     val H = graft.functions.Hyperplanes
     val M = H.pqM
@@ -1790,14 +1819,35 @@ object Similarity {
     val cents = sums.groupBy(col("m"), col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
       .select(col("m"), col("cell0").as("cell"), col("centroid"))
-    // Super-centroids: the group's member sums re-aggregated — exact
-    // integer adds, so bit-identical in DuckDB under any grouping order.
-    val supCents = sums.withColumn("g", expr(s"cell0 div $groupSize"))
+    // Super-centroids of an explicit (m, cell, g) grouping: the member
+    // cells' integer sums re-aggregated — exact adds, so bit-identical
+    // in DuckDB under any grouping order.
+    def supCentsOf(groups: DataFrame): DataFrame = sums
+      .join(groups.withColumnRenamed("cell", "cell0"), Seq("m", "cell0"))
       .groupBy(col("m"), col("g"), col("dim"))
       .agg(sum(col("sfx")).as("sfx"), sum(col("n")).as("n"))
       .groupBy(col("m"), col("g"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("scentroid"))
-    // Stage 1: rank the 16 super-centroids, keep the top `beam` groups
+    // Grouping of the 256 cells into super-groups. Seed: the cell's high
+    // bits (cell div groupSize) — free, but geometrically arbitrary, so
+    // stage 1 misroutes on weakly-clustered corpora (the q160/q161
+    // recall ceiling). Refined: one Lloyd round ON THE GROUP STRUCTURE —
+    // each cell-centroid reassigned to its max-dot seed super-centroid
+    // (tie → lowest g), supers then recomputed from their members. A
+    // 256-row broadcast-scale computation per subspace, independent of
+    // corpus size; empty groups vanish from the recomputed relation so
+    // stage 1 never routes to a memberless group.
+    val seedGroups = cents.select(col("m"), col("cell"),
+      expr(s"cell div $groupSize").as("g"))
+    val groups =
+      if (!refine) seedGroups
+      else cents.join(broadcast(supCentsOf(seedGroups)), Seq("m"))
+        .select(col("m"), col("cell"), col("g"),
+          expr("graft_dot(centroid, scentroid)").as("sc"))
+        .groupBy(col("m"), col("cell"))
+        .agg(expr("max_by(g, struct(sc, -g))").as("g"))
+    val supCents = supCentsOf(groups)
+    // Stage 1: rank the super-centroids, keep the top `beam` groups
     // (sc desc, g asc — the ng negation keeps sort_array single-key).
     // Stage 2: rank only the kept groups' cells. Both aggregation passes
     // partial-aggregate; group cells are disjoint, so stage 2 never
@@ -1809,8 +1859,9 @@ object Similarity {
       .agg(expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
       .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
     val hCodes = subs.join(s1, Seq("vec_id", "m"))
-      .join(broadcast(cents), Seq("m"))
-      .filter(expr(s"cell div $groupSize") === col("g"))
+      .join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
+        Seq("m", "cell"))), Seq("m"))
+      .filter(col("cg") === col("g"))
       .select(col("vec_id"), col("m"), col("cell"),
         expr("graft_dot(sub, centroid)").as("sc"))
       .groupBy(col("vec_id"), col("m"))
@@ -1839,16 +1890,40 @@ object Similarity {
     */
   def q161Sql: String = pqHier8Sql(2)
 
-  private def pqHier8Sql(beam: Int, groupSize: Int = 16): String = {
+  private def pqHier8Sql(beam: Int, groupSize: Int = 16,
+                         refine: Boolean = false): String = {
     val H = graft.functions.Hyperplanes
     val M = H.pqM
     val sd = H.pqSubDim
     val K = 1 << 8
+    // Seed grouping (cell high bits) always trains supcent0; the refined
+    // variant adds one Lloyd round — each cell-centroid reassigned to its
+    // max-dot seed super (ties → lowest g, the max_by struct order), then
+    // supers recomputed from member integer sums. Final relation names
+    // are picked per dial so s1/h2 read one grouping only.
+    val grpRel = if (refine) "groups1" else "groups0"
+    val supRel = if (refine) "supcent1" else "supcent0"
+    val refineCtes = if (!refine) "" else s"""
+       groups1 AS (
+         SELECT m, cell, g FROM (
+           SELECT c.m, c.cell, sc.g,
+                  ROW_NUMBER() OVER (PARTITION BY c.m, c.cell ORDER BY
+                    list_reduce([c.centroid[i] * sc.scentroid[i]
+                                 FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
+                    sc.g ASC) AS rn
+           FROM cent c JOIN supcent0 sc ON c.m = sc.m) WHERE rn = 1),
+       supsums1 AS (SELECT s.m, g.g, s.dim, SUM(s.sfx) AS sfx, SUM(s.n) AS n
+                    FROM sums s JOIN groups1 g ON s.m = g.m AND s.cell0 = g.cell
+                    GROUP BY 1, 2, 3),
+       supcent1 AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
+                    FROM supsums1 GROUP BY m, g),"""
     s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
-       supsums AS (SELECT m, cell0 // $groupSize AS g, dim, SUM(sfx) AS sfx, SUM(n) AS n
-                   FROM sums GROUP BY 1, 2, 3),
-       supcent AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
-                   FROM supsums GROUP BY m, g),
+       groups0 AS (SELECT m, cell, cell // $groupSize AS g FROM cent),
+       supsums0 AS (SELECT s.m, g.g, s.dim, SUM(s.sfx) AS sfx, SUM(s.n) AS n
+                    FROM sums s JOIN groups0 g ON s.m = g.m AND s.cell0 = g.cell
+                    GROUP BY 1, 2, 3),
+       supcent0 AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
+                    FROM supsums0 GROUP BY m, g),$refineCtes
        s1 AS (
          SELECT vec_id, m, g FROM (
            SELECT s.vec_id, s.m, c.g,
@@ -1856,7 +1931,7 @@ object Similarity {
                     list_reduce([CAST(s.sub[i] AS DOUBLE) * c.scentroid[i]
                                  FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
                     c.g ASC) AS rn
-           FROM subs s JOIN supcent c ON s.m = c.m) WHERE rn <= $beam),
+           FROM subs s JOIN $supRel c ON s.m = c.m) WHERE rn <= $beam),
        h2 AS (
          SELECT vec_id, m, cell AS code FROM (
            SELECT s.vec_id, s.m, c.cell,
@@ -1865,7 +1940,8 @@ object Similarity {
                                  FOR i IN generate_series(1, $sd)], (acc, v) -> acc + v) DESC,
                     c.cell ASC) AS rn
            FROM subs s JOIN s1 USING (vec_id, m)
-                JOIN cent c ON c.m = s.m AND c.cell // $groupSize = s1.g) WHERE rn = 1),
+                JOIN $grpRel gr ON gr.g = s1.g
+                JOIN cent c ON c.m = s.m AND c.m = gr.m AND c.cell = gr.cell) WHERE rn = 1),
        hcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM h2 GROUP BY vec_id),
        adc AS (
          SELECT l.query_id, c.vec_id AS neighbor_id,
@@ -2209,7 +2285,8 @@ object Similarity {
     "q160_ann_pq8_hier" -> (q160AnnPq8Hier _),
     "q161_ann_pq8_hier_beam" -> (q161AnnPq8HierBeam _),
     "q163_ann_pq_index_build" -> (q163AnnPqIndexBuild _),
-    "q164_ann_pq_index_probe" -> (q164AnnPqIndexProbe _))
+    "q164_ann_pq_index_probe" -> (q164AnnPqIndexProbe _),
+    "q165_ann_pq8_lloyd" -> (q165AnnPq8Lloyd _))
 
   val oracle: Map[String, String] = Map(
     "q125_hybrid_retrieval" -> q125Sql,
@@ -2232,5 +2309,6 @@ object Similarity {
     "q160_ann_pq8_hier" -> q160Sql,
     "q161_ann_pq8_hier_beam" -> q161Sql,
     "q163_ann_pq_index_build" -> q163Sql,
-    "q164_ann_pq_index_probe" -> q164Sql)
+    "q164_ann_pq_index_probe" -> q164Sql,
+    "q165_ann_pq8_lloyd" -> q165Sql)
 }

@@ -47,10 +47,14 @@ object PqFrontierProbe {
     }
 
     timedRecall("flat256", 256, () => graft.ops.Similarity.q159AnnPq8(spark, sfDir))
-    for (gs <- Seq(16, 8); beam <- 1 to (if (gs == 16) 4 else 6)) {
+    for (refine <- Seq(false, true); gs <- Seq(16, 8);
+         beam <- 1 to (if (gs == 16) 4 else 6)) {
+      // With refined (Lloyd-round) groups the sizes are data-dependent;
+      // 256/gs + beam*gs is the expected count at balanced groups either way.
       val cells = 256 / gs + beam * gs
-      timedRecall(s"${256 / gs}x${gs}_beam$beam", cells,
-        () => graft.ops.Similarity.pqHier8(spark, sfDir, beam, gs))
+      val tag = if (refine) "_lloyd" else ""
+      timedRecall(s"${256 / gs}x${gs}_beam$beam$tag", cells,
+        () => graft.ops.Similarity.pqHier8(spark, sfDir, beam, gs, refine))
     }
     spark.stop()
   }

@@ -179,6 +179,26 @@ class PqSpec extends SparkSpec {
     assert(r2 > 0.55, s"beam-2 recall $r2 vs exact top-5")
   }
 
+  test("q165 Lloyd-grouped beam encode holds the 0.70 recall floor at sub-flat encode cost") {
+    val exact = ops.Similarity.q55AnnBruteforce(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val seedBeam = ops.Similarity.q161AnnPq8HierBeam(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lloyd = ops.Similarity.q165AnnPq8Lloyd(spark, sfDir)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lloyd.nonEmpty)
+    val rSeed = (exact & seedBeam).size.toDouble / exact.size
+    val rLloyd = (exact & lloyd).size.toDouble / exact.size
+    // The registered 100x posture's whole claim (VERDICT r9 item 4):
+    // recall >= 0.70 at 56 cells/subspace scanned — measured 0.71 vs the
+    // seed-grouped q161's 0.66 and flat q159's 0.73 at sf0.001. The
+    // grouping refinement, not more beam, is what buys the recall: the
+    // seed-grouped family plateaus at 0.67-0.69 even at 80 cells
+    // (tools/PqFrontierProbe).
+    assert(rLloyd >= rSeed, s"Lloyd-grouped recall $rLloyd < seed-grouped $rSeed")
+    assert(rLloyd >= 0.70, s"q165 recall $rLloyd below the registered 0.70 floor")
+  }
+
   test("q163/q164 PQ index: append reuses the persisted codebook, appended twins serve identically, mismatches fail fast") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
