@@ -1797,6 +1797,86 @@ object Similarity {
     * `private[graft]` so tools.PqFrontierProbe can sweep the
     * (beam, split) plane without registering every point as a query.
     */
+  /** Train the hierarchical PQ model on a corpus: the pqBits codebook
+    * (exact fixed-point means), a grouping of its cells into
+    * `2^pqBits / groupSize` super-groups, and the groups' super-centroids
+    * (member integer sums re-aggregated — exact adds, so bit-identical in
+    * DuckDB under any grouping order). Returns (cents, groups, supCents):
+    * (m, cell, centroid) / (m, cell, g) / (m, g, scentroid).
+    *
+    * Grouping: seed = the cell's high bits (cell div groupSize) — free,
+    * but geometrically arbitrary, so stage 1 misroutes on
+    * weakly-clustered corpora (the q160/q161 recall ceiling). Refined
+    * (q165): one Lloyd round ON THE GROUP STRUCTURE — each cell-centroid
+    * reassigned to its max-dot seed super-centroid (tie → lowest g),
+    * supers then recomputed from their members. A 2^pqBits-row
+    * broadcast-scale computation per subspace, independent of corpus
+    * size; empty groups vanish from the recomputed relation so stage 1
+    * never routes to a memberless group.
+    */
+  private[graft] def pqHierModelOn(emb: DataFrame, pqBits: Int,
+                                   groupSize: Int, refine: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val H = graft.functions.Hyperplanes
+    val subs = pqSubsOf(emb)
+    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
+    val sums = seeded
+      .select(col("m"), col("cell0"), posexplode(
+        expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
+      .groupBy(col("m"), col("cell0"), col("dim"))
+      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+    val cents = sums.groupBy(col("m"), col("cell0"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
+      .select(col("m"), col("cell0").as("cell"), col("centroid"))
+    def supCentsOf(groups: DataFrame): DataFrame = sums
+      .join(groups.withColumnRenamed("cell", "cell0"), Seq("m", "cell0"))
+      .groupBy(col("m"), col("g"), col("dim"))
+      .agg(sum(col("sfx")).as("sfx"), sum(col("n")).as("n"))
+      .groupBy(col("m"), col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("scentroid"))
+    val seedGroups = cents.select(col("m"), col("cell"),
+      expr(s"cell div $groupSize").as("g"))
+    val groups =
+      if (!refine) seedGroups
+      else cents.join(broadcast(supCentsOf(seedGroups)), Seq("m"))
+        .select(col("m"), col("cell"), col("g"),
+          expr("graft_dot(centroid, scentroid)").as("sc"))
+        .groupBy(col("m"), col("cell"))
+        .agg(expr("max_by(g, struct(sc, -g))").as("g"))
+    (cents, groups, supCentsOf(groups))
+  }
+
+  /** Hierarchical encode of `subs` against an explicit trained model —
+    * stage 1 ranks the super-centroids and keeps the top `beam` groups
+    * (sc desc, g asc — the ng negation keeps sort_array single-key);
+    * stage 2 ranks only the kept groups' cells. Both aggregation passes
+    * partial-aggregate; group cells are disjoint, so stage 2 never
+    * scores a cell twice. Factored from the q160/q161/q165 query bodies
+    * so the PQ index write/append path encodes with the SAME posture —
+    * encode is the index's recurring cost, so the registered 100×
+    * encoder and the index's encoder must be one code path.
+    */
+  private[graft] def pqEncodeHier(subs: DataFrame, cents: DataFrame,
+                                  groups: DataFrame, supCents: DataFrame,
+                                  beam: Int): DataFrame = {
+    val s1 = subs.join(broadcast(supCents), Seq("m"))
+      .select(col("vec_id"), col("m"), col("g"),
+        expr("graft_dot(sub, scentroid)").as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
+      .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
+    subs.join(s1, Seq("vec_id", "m"))
+      .join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
+        Seq("m", "cell"))), Seq("m"))
+      .filter(col("cg") === col("g"))
+      .select(col("vec_id"), col("m"), col("cell"),
+        expr("graft_dot(sub, centroid)").as("sc"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+  }
+
   private[graft] def pqHier8(s: SparkSession, dir: String, beam: Int,
                              groupSize: Int = 16,
                              refine: Boolean = false): DataFrame = {
@@ -1807,67 +1887,8 @@ object Similarity {
     val K = 1 << bits
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val subs = emb.select(col("vec_id"),
-      posexplode(expr(s"transform(sequence(0, ${M - 1}), mm -> slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}))"))
-        .as(Seq("m", "sub")))
-    val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", bits)))
-    val sums = seeded
-      .select(col("m"), col("cell0"), posexplode(
-        expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
-      .groupBy(col("m"), col("cell0"), col("dim"))
-      .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
-    val cents = sums.groupBy(col("m"), col("cell0"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
-      .select(col("m"), col("cell0").as("cell"), col("centroid"))
-    // Super-centroids of an explicit (m, cell, g) grouping: the member
-    // cells' integer sums re-aggregated — exact adds, so bit-identical
-    // in DuckDB under any grouping order.
-    def supCentsOf(groups: DataFrame): DataFrame = sums
-      .join(groups.withColumnRenamed("cell", "cell0"), Seq("m", "cell0"))
-      .groupBy(col("m"), col("g"), col("dim"))
-      .agg(sum(col("sfx")).as("sfx"), sum(col("n")).as("n"))
-      .groupBy(col("m"), col("g"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("scentroid"))
-    // Grouping of the 256 cells into super-groups. Seed: the cell's high
-    // bits (cell div groupSize) — free, but geometrically arbitrary, so
-    // stage 1 misroutes on weakly-clustered corpora (the q160/q161
-    // recall ceiling). Refined: one Lloyd round ON THE GROUP STRUCTURE —
-    // each cell-centroid reassigned to its max-dot seed super-centroid
-    // (tie → lowest g), supers then recomputed from their members. A
-    // 256-row broadcast-scale computation per subspace, independent of
-    // corpus size; empty groups vanish from the recomputed relation so
-    // stage 1 never routes to a memberless group.
-    val seedGroups = cents.select(col("m"), col("cell"),
-      expr(s"cell div $groupSize").as("g"))
-    val groups =
-      if (!refine) seedGroups
-      else cents.join(broadcast(supCentsOf(seedGroups)), Seq("m"))
-        .select(col("m"), col("cell"), col("g"),
-          expr("graft_dot(centroid, scentroid)").as("sc"))
-        .groupBy(col("m"), col("cell"))
-        .agg(expr("max_by(g, struct(sc, -g))").as("g"))
-    val supCents = supCentsOf(groups)
-    // Stage 1: rank the super-centroids, keep the top `beam` groups
-    // (sc desc, g asc — the ng negation keeps sort_array single-key).
-    // Stage 2: rank only the kept groups' cells. Both aggregation passes
-    // partial-aggregate; group cells are disjoint, so stage 2 never
-    // scores a cell twice.
-    val s1 = subs.join(broadcast(supCents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("g"),
-        expr("graft_dot(sub, scentroid)").as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
-      .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
-    val hCodes = subs.join(s1, Seq("vec_id", "m"))
-      .join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
-        Seq("m", "cell"))), Seq("m"))
-      .filter(col("cg") === col("g"))
-      .select(col("vec_id"), col("m"), col("cell"),
-        expr("graft_dot(sub, centroid)").as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+    val (cents, groups, supCents) = pqHierModelOn(emb, bits, groupSize, refine)
+    val hCodes = pqEncodeHier(pqSubsOf(emb), cents, groups, supCents, beam)
     val lut = pqLutDf(emb, cents, pqBits = bits)
     val adc = hCodes.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("vec_id"))
@@ -1890,17 +1911,20 @@ object Similarity {
     */
   def q161Sql: String = pqHier8Sql(2)
 
-  private def pqHier8Sql(beam: Int, groupSize: Int = 16,
-                         refine: Boolean = false): String = {
-    val H = graft.functions.Hyperplanes
-    val M = H.pqM
-    val sd = H.pqSubDim
-    val K = 1 << 8
-    // Seed grouping (cell high bits) always trains supcent0; the refined
-    // variant adds one Lloyd round — each cell-centroid reassigned to its
-    // max-dot seed super (ties → lowest g, the max_by struct order), then
-    // supers recomputed from member integer sums. Final relation names
-    // are picked per dial so s1/h2 read one grouping only.
+  /** The hierarchical-encode CTE block, shared by q160/q161/q165's
+    * oracles and the PQ index oracles (q163/q164, which encode with the
+    * q165 posture since the encoder switch): consumes the pqCteSql
+    * prefix's `subs`/`sums`/`cent` relations and ends at `hcodes`
+    * (vec_id, codes). Seed grouping (cell high bits) always trains
+    * supcent0; the refined variant adds one Lloyd round — each
+    * cell-centroid reassigned to its max-dot seed super (ties → lowest
+    * g, the max_by struct order), then supers recomputed from member
+    * integer sums. Final relation names are picked per dial so s1/h2
+    * read one grouping only.
+    */
+  private def pqHierCodesCtes(beam: Int, groupSize: Int,
+                              refine: Boolean): String = {
+    val sd = graft.functions.Hyperplanes.pqSubDim
     val grpRel = if (refine) "groups1" else "groups0"
     val supRel = if (refine) "supcent1" else "supcent0"
     val refineCtes = if (!refine) "" else s"""
@@ -1917,8 +1941,7 @@ object Similarity {
                     GROUP BY 1, 2, 3),
        supcent1 AS (SELECT m, g, list(CAST(sfx AS DOUBLE) / n / 10000000 ORDER BY dim) AS scentroid
                     FROM supsums1 GROUP BY m, g),"""
-    s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
-       groups0 AS (SELECT m, cell, cell // $groupSize AS g FROM cent),
+    s"""groups0 AS (SELECT m, cell, cell // $groupSize AS g FROM cent),
        supsums0 AS (SELECT s.m, g.g, s.dim, SUM(s.sfx) AS sfx, SUM(s.n) AS n
                     FROM sums s JOIN groups0 g ON s.m = g.m AND s.cell0 = g.cell
                     GROUP BY 1, 2, 3),
@@ -1942,7 +1965,15 @@ object Similarity {
            FROM subs s JOIN s1 USING (vec_id, m)
                 JOIN $grpRel gr ON gr.g = s1.g
                 JOIN cent c ON c.m = s.m AND c.m = gr.m AND c.cell = gr.cell) WHERE rn = 1),
-       hcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM h2 GROUP BY vec_id),
+       hcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes FROM h2 GROUP BY vec_id)"""
+  }
+
+  private def pqHier8Sql(beam: Int, groupSize: Int = 16,
+                         refine: Boolean = false): String = {
+    val M = graft.functions.Hyperplanes.pqM
+    val K = 1 << 8
+    s"""WITH ${pqCteSql("embeddings", "embedding", 8)},
+       ${pqHierCodesCtes(beam, groupSize, refine)},
        adc AS (
          SELECT l.query_id, c.vec_id AS neighbor_id,
                 list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
@@ -2024,6 +2055,12 @@ object Similarity {
     */
   private val annPqGeometry: (Int, Int) = (14, 16)
   private val annPqBits = 8
+  // The index's encoder is q165's registered 100× posture — 32×8
+  // Lloyd-refined groups, beam 3 — NOT the flat argmax: encode is the
+  // recurring per-document cost of index maintenance (every build and
+  // every appended batch), exactly where q159's Θ(n·M·256) knee lives.
+  private val annPqGroupSize = 8
+  private val annPqBeam = 3
 
   /** Deterministic per-corpus PQ-index location (tmpdir-scoped, distinct
     * from [[annIndexPath]] so the two index families never collide).
@@ -2040,12 +2077,20 @@ object Similarity {
     * part of the index: a probe must build its LUTs against the exact
     * centroids the resident codes were assigned to.
     *
-    * Appends follow the incremental discipline on BOTH learned
+    * Encode uses q165's registered 100× posture (32×8 Lloyd-refined
+    * groups, beam 3 — Θ(n·M·56) vs the flat Θ(n·M·256) knee q159
+    * measured at sf10), because encode is the index's RECURRING cost:
+    * paid at build and again for every appended batch. The grouping and
+    * super-centroids are part of the model, persisted as `_groups` /
+    * `_supcent` beside `_codebook`.
+    *
+    * Appends follow the incremental discipline on ALL learned
     * structures: the batch is hashed with the recorded geometry (fail
     * fast on mismatch, as [[annIndexWrite]]) and encoded against the
-    * PERSISTED codebook — never retrained, which would silently shift
-    * every resident code's meaning. Codebook drift under distribution
-    * shift is a rebuild decision, not an append side effect.
+    * PERSISTED codebook + grouping — never retrained, which would
+    * silently shift every resident code's meaning. Codebook drift under
+    * distribution shift is a rebuild decision, not an append side
+    * effect.
     */
   def annPqIndexWrite(vecs: DataFrame, path: String,
                       mode: String = "overwrite",
@@ -2067,11 +2112,19 @@ object Similarity {
           s"append pq_bits ($pqBits) != index codebook pq_bits ($recorded) at $path")
       }
     }
-    val cents =
-      if (mode == "append" && cbExists)
-        s.read.parquet(cbPath).select(col("m"), col("cell"), col("centroid"))
-      else pqModelOn(vecs, pqBits)._1
-    val codes = pqEncode(pqSubsOf(vecs), cents)
+    // The grouping and super-centroids are PART of the model — an append
+    // encoded against recomputed groups (whose Lloyd refinement would see
+    // only the batch's distribution) could route a twin of a resident
+    // vector to a different cell. Persist all three relations at train
+    // time; reuse them verbatim on append.
+    val (cents, groups, supCents) =
+      if (mode == "append" && cbExists) (
+        s.read.parquet(cbPath).select(col("m"), col("cell"), col("centroid")),
+        s.read.parquet(s"$path/_groups"),
+        s.read.parquet(s"$path/_supcent"))
+      else pqHierModelOn(vecs, pqBits,
+        groupSize = math.min(annPqGroupSize, 1 << pqBits), refine = true)
+    val codes = pqEncodeHier(pqSubsOf(vecs), cents, groups, supCents, annPqBeam)
     val grpBits = indexGrpBits(bitsPerTable)
     vecs.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("codes"), posexplode(
@@ -2086,9 +2139,12 @@ object Similarity {
     s.range(1)
       .select(lit(bitsPerTable).as("bits"), lit(numTables).as("tables"))
       .write.mode("overwrite").parquet(s"$path/_geometry")
-    if (!(mode == "append" && cbExists))
+    if (!(mode == "append" && cbExists)) {
       cents.withColumn("pq_bits", lit(pqBits))
         .write.mode("overwrite").parquet(cbPath)
+      groups.write.mode("overwrite").parquet(s"$path/_groups")
+      supCents.write.mode("overwrite").parquet(s"$path/_supcent")
+    }
     Similarity.synchronized { builtIndexPaths += path }
   }
 
@@ -2168,6 +2224,11 @@ object Similarity {
         fields.contains("codes") && fields.contains("bgrp")
       } catch { case _: Throwable => false }) &&
       indexGeometry(s, path).contains(annPqGeometry) &&
+      // Hier-encoder indexes persist their grouping; a tree without
+      // _groups/_supcent predates the q165 encoder switch and its codes
+      // were flat-assigned — rebuild rather than serve mixed encodings.
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_groups")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_supcent")) &&
       (try {
         s.read.parquet(s"$path/_codebook").select(max(col("pq_bits"))).head().getInt(0) == annPqBits
       } catch { case _: Throwable => false })
@@ -2182,7 +2243,8 @@ object Similarity {
 
   /** The MAINTENANCE side of q164 (the q144 pattern, audit-marked in
     * `SparkEntry.auditBaselines`): rebuild the PQ-coded corpus index from
-    * scratch — codebook training + encode + 16-table bucket write — and
+    * scratch — codebook training + q165-posture hierarchical encode +
+    * 16-table bucket write — and
     * return per-table occupancy PLUS a codes checksum (Σ over rows of
     * Σ_m codes[m]·(m+1)), so the oracle structurally pins not just the
     * bucket layout but the resident CODES: DuckDB retrains the codebook
@@ -2210,9 +2272,10 @@ object Similarity {
     val nt = annPqGeometry._2
     s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
        ${pqCteSql("corp", "embedding", annPqBits, "q.vec_id % 10 = 0")},
+       ${pqHierCodesCtes(annPqBeam, annPqGroupSize, refine = true)},
        csum AS (SELECT CAST(SUM(list_reduce([codes[mm + 1] * (mm + 1)
                          FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v)) AS BIGINT) AS code_sum
-                FROM codes),
+                FROM hcodes),
        sig AS (SELECT vec_id, $sig AS sig FROM embeddings WHERE vec_id % 10 <> 0)
        SELECT CAST(t.i - 1 AS INT) AS tbl,
               COUNT(DISTINCT sig[t.i]) AS n_buckets,
@@ -2249,6 +2312,7 @@ object Similarity {
     val nt = annPqGeometry._2
     s"""WITH corp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0),
        ${pqCteSql("corp", "embedding", annPqBits, "q.vec_id % 10 = 0")},
+       ${pqHierCodesCtes(annPqBeam, annPqGroupSize, refine = true)},
        sig AS (SELECT vec_id, $sig AS sig FROM embeddings),
        cands AS (
          SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
@@ -2259,7 +2323,7 @@ object Similarity {
          SELECT ca.query_id, ca.neighbor_id,
                 list_reduce([l.lut[mm * $K + c.codes[mm + 1] + 1]
                              FOR mm IN generate_series(0, ${M - 1})], (acc, v) -> acc + v) AS adc
-         FROM cands ca JOIN codes c ON ca.neighbor_id = c.vec_id
+         FROM cands ca JOIN hcodes c ON ca.neighbor_id = c.vec_id
               JOIN lut l ON l.query_id = ca.query_id),
        $pqTailSql"""
   }

@@ -87,8 +87,10 @@ class AnnIngestSpec extends SparkSpec {
     graft.ops.Similarity.annPqIndexWrite(rest, batchPath, mode = "append",
       bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
     val streamPath = bootstrap("pq_stream")
-    val cbBefore = spark.read.parquet(s"$streamPath/_codebook")
-      .orderBy("m", "cell").collect().toSeq
+    def model(p: String) =
+      spark.read.parquet(s"$p/_codebook").orderBy("m", "cell").collect().toSeq ++
+        spark.read.parquet(s"$p/_groups").orderBy("m", "cell").collect().toSeq
+    val cbBefore = model(streamPath)
     val ckpt = java.nio.file.Files.createTempDirectory("pq_ckpt").toString
     val src = MemoryStream[(Long, Seq[Double])](spark)
     val q = graft.streaming.AnnIngest.runPq(
@@ -100,10 +102,10 @@ class AnnIngestSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // Micro-batch appends must not have touched the learned structures.
-    val cbAfter = spark.read.parquet(s"$streamPath/_codebook")
-      .orderBy("m", "cell").collect().toSeq
-    assert(cbBefore == cbAfter, "streaming append retrained/rewrote the codebook")
+    // Micro-batch appends must not have touched the learned structures
+    // (codebook AND the q165-posture grouping).
+    val cbAfter = model(streamPath)
+    assert(cbBefore == cbAfter, "streaming append retrained/rewrote the codebook/grouping")
     assert(graft.ops.Similarity.indexGeometry(spark, streamPath).contains(geom))
     // A probe is a pure function of (bucket rows, codebook, batch), so
     // the two indexes must serve byte-identical results.
