@@ -45,11 +45,13 @@ for sf in /root/testdata/sf0.1 "$SF1" "$SF10"; do
   tag=$(basename "$sf" | sed 's/^sf0.1$/sf01/')
   qs="$QUERIES"; [ "$sf" = "$SF10" ] && qs="$SF10_QUERIES"
   echo "=== probing $sf ==="
+  # SPARK_GRAFT_BENCH_OUT gets the FULL line (anchors series + audit
+  # array) since the stdout line was trimmed to the driver-capture
+  # minimum (round 10); the probe tooling normalizes by min(anchors).
   SPARK_GRAFT_SF_DIR="$sf" SPARK_GRAFT_CPUS=8 SPARK_GRAFT_ONLY="$qs" \
-    SPARK_GRAFT_PRIOR=none \
+    SPARK_GRAFT_PRIOR=none SPARK_GRAFT_BENCH_OUT="$OUT/bench_$tag.json" \
     SPARK_GRAFT_TELEMETRY="$OUT/telemetry_$tag.jsonl" SPARK_DRIVER_MEM=24g \
-    tools/run_local.sh graft.Bench 2> "$OUT/stderr_$tag.log" \
-    | tail -1 > "$OUT/bench_$tag.json"
+    tools/run_local.sh graft.Bench > /dev/null 2> "$OUT/stderr_$tag.log"
   # A killed or failed bench leaves an empty/partial line; fail HERE with
   # the real context instead of letting gen_baseline_table.py reject it
   # later with a confusing error (ADVICE r7).
