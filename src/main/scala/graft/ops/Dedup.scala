@@ -673,6 +673,29 @@ object Dedup {
   val q157Sql: String =
     neardupOracleSql(17, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
 
+  /** q166 — the sf10-decade RECALL buy-back: q157's held-L 16×17 with
+    * 1-bit multi-probing, registered after the round-10 at-scale recall
+    * grade (tools/RecallProbeAtScale, 100× replica corpus, within-replica
+    * translated truth = 13,800 grazing pairs): bare 16×17 keeps 1.3% of
+    * threshold-grazing truth at its own decade; the probe dial buys that
+    * back to 12.0% at 8.1e7 candidates (0.4% of all pairs) — MORE kept
+    * pairs per candidate than 16×14 at the same decade (4.4% at 3.4e7),
+    * so at sf10 the probe-boosted 17-bit posture dominates dropping back
+    * to 14 bits, exactly as recall ≈ L·(p^b + b·p^(b−1)(1−p)) predicts.
+    * The q151 relationship one decade up: q157 is the cost-first
+    * registered posture, q166 the recall midpoint. (Grazing-pair recall
+    * is the WORST case by construction — real duplicates at cosine ≈ 1.0
+    * ride every geometry, which the planted-clone gate proves per SF.)
+    */
+  def q166EmbeddingNeardupWide17Mp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 17, numTables = 16,
+      multiProbe = true)
+  }
+
+  val q166Sql: String =
+    neardupOracleSql(17, multiProbe = true, numTables = 16, from = plantedEmbeddingsSql)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -1031,7 +1054,8 @@ object Dedup {
     "q152_embedding_neardup_recall" -> (q152EmbeddingNeardupRecall _),
     "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _),
     "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _),
-    "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _))
+    "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _),
+    "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1056,5 +1080,6 @@ object Dedup {
     "q152_embedding_neardup_recall" -> q152Sql,
     "q153_consensus_dedup_wide14" -> q153Sql,
     "q157_embedding_neardup_wide17" -> q157Sql,
-    "q158_consensus_dedup_wide17" -> q158Sql)
+    "q158_consensus_dedup_wide17" -> q158Sql,
+    "q166_embedding_neardup_wide17_mp" -> q166Sql)
 }
