@@ -453,7 +453,9 @@ class DedupSpec extends SparkSpec {
       ("q148", ops.Dedup.q148EmbeddingNeardupWide11 _),
       ("q149", ops.Dedup.q149EmbeddingNeardupWide14 _),
       ("q151", ops.Dedup.q151EmbeddingNeardupWide14Mp _),
-      ("q152", ops.Dedup.q152EmbeddingNeardupRecall _))
+      ("q152", ops.Dedup.q152EmbeddingNeardupRecall _),
+      ("q157", ops.Dedup.q157EmbeddingNeardupWide17 _),
+      ("q166", ops.Dedup.q166EmbeddingNeardupWide17Mp _))
     postures.foreach { case (name, q) =>
       val got = q(spark, sfDir).select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(planted.subsetOf(got),
@@ -464,5 +466,19 @@ class DedupSpec extends SparkSpec {
     val hier = ops.Similarity.q150SemanticDedupHier(spark, sfDir)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(planted.subsetOf(hier), s"q150 lost planted clone pairs: ${planted -- hier}")
+  }
+
+  test("q166 (16x17 + probes) results are a superset of q157's at identical geometry") {
+    // One-bit probing only ADDS candidate buckets (home bucket included);
+    // the exact cosine verify is a pure filter, so result containment is
+    // geometric, not statistical — the same guarantee the q151 ⊇ q149 and
+    // q102 ⊇ q101 pins give the lower decades.
+    graft.functions.VectorExpressions.register(spark)
+    val bare = ops.Dedup.q157EmbeddingNeardupWide17(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val probed = ops.Dedup.q166EmbeddingNeardupWide17Mp(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(probed.nonEmpty && bare.subsetOf(probed),
+      s"q166 lost pairs q157 keeps: ${bare -- probed}")
   }
 }
