@@ -23,6 +23,21 @@ class BenchPriorSpec extends AnyFunSuite {
     """{"metric":"total","unit":"sec","audit":[],"anchors":[0.1],""" +
       """"queries":{"q1":0.50},"value":0.5,"anchor":0.1,"sf":"/tmp/sf1"}"""
 
+  test("the round-10 minimal stdout line (no audit/anchors extras) parses") {
+    // Since round 10 the stdout line carries only the driver-capture
+    // minimum (metric/unit/queries/value/anchor/sf) — the extras moved to
+    // the SPARK_GRAFT_BENCH_OUT side file. The prior loader must accept
+    // driver BENCH_rNN captures in this shape or self-adjudication goes
+    // dark for every round after r10.
+    val minimal =
+      """{"metric":"total","unit":"sec","queries":{"q1":1.00,"q2":2.00},""" +
+        """"value":3.0,"anchor":0.2,"sf":"/root/testdata/sf0.1"}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(minimal)).get
+    assert(anchor == 0.2)
+    assert(qs == Map("q1" -> 1.0, "q2" -> 2.0))
+    assert(sf.contains("/root/testdata/sf0.1"))
+  }
+
   test("single complete line parses with anchor, queries, and sf") {
     val (anchor, qs, sf) = Bench.loadPrior(write(line1)).get
     assert(anchor == 0.2)
