@@ -29,7 +29,7 @@ object Verify {
     // empty driver compare against a populated status file indicts the
     // driver leg, an absent/partial status file indicts this main).
     // JSONL so a mid-suite crash still leaves every completed row.
-    val statusPath = Paths.get(s"$outDir/verify_status.json")
+    val statusPath = Paths.get(s"$outDir/verify_status.jsonl")
     Files.writeString(statusPath, "")
     def statusAppend(line: String): Unit =
       try Files.writeString(statusPath, line + "\n",
@@ -40,7 +40,11 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // Row count from the written footers — metadata-only, no rescan.
+        // Row count by re-reading the just-written file: parquet count()
+        // resolves from footer row-group metadata, so this is one small
+        // Spark job (file listing + footer reads) per query — cheaper
+        // than a pre-write count(), which would recompute the whole
+        // query plan a second time (ADVICE r10).
         val rows = spark.read.parquet(s"$outDir/$name").count()
         statusAppend(s"""{"q":"$name","ok":true,"rows":$rows}""")
       } catch { case e: Throwable =>

@@ -28,14 +28,41 @@ object Hyperplanes {
   val bits = 4
   val tables = 16
 
-  /** Upper bound of the PARAMETERIZED plane budget (VERDICT r8 item 1):
-    * 512 planes supports held-L high-bit geometries up to 32 tables × 16
-    * bits. The fixed 64-plane pool forced every high-bit posture to
-    * SHRINK L (8×8 → 5×11 → 4×14), which is where the measured recall
-    * collapse came from — recall ≈ 1−(1−p^b)^L needs L held (or grown)
-    * while b steps with log₂(corpus).
+  /** Upper bound of the PARAMETERIZED plane budget (VERDICT r8 item 1).
+    * The fixed 64-plane pool forced every high-bit posture to SHRINK L
+    * (8×8 → 5×11 → 4×14), which is where the measured recall collapse
+    * came from — recall ≈ 1−(1−p^b)^L needs L held (or grown) while b
+    * steps with log₂(corpus). Grown 512 → 640 in round 11 for the
+    * 32×17 sf10-decade recall posture (q167): `scala.util.Random`
+    * generates row-sequentially, so rows [0, 512) — including the PQ
+    * seed rows at [[pqPlaneStart]] — are bit-identical to the round-8
+    * pool and every existing geometry/oracle/persisted codebook is
+    * unchanged by the growth.
     */
-  val maxPlanes = 512
+  val maxPlanes = 640
+
+  /** Rows [pqPlaneStart, pqPlaneStart + pqReservedRows) are RESERVED for
+    * the PQ seed partition (only [448, 456) is used today; the block
+    * leaves headroom without re-seeding): LSH geometries wide enough to
+    * reach row 448 skip the whole block via [[lshPlaneRow]], so no LSH
+    * table ever shares a plane with a PQ subspace — bucket families and
+    * PQ cells stay statistically disentangled at every geometry.
+    */
+  val pqReservedRows = 64
+
+  /** Pool row backing LSH plane index `idx` (= table·bitsPerTable + bit):
+    * identity below the PQ block, +[[pqReservedRows]] above it. Every
+    * geometry registered before round 11 lives entirely below row 448,
+    * so this mapping changes nothing for them (DedupSpec pins their
+    * buckets); it only routes the r11+ wide geometries around the block.
+    * [[LshBucketsExpr]] and [[duckBucketsSql]] MUST agree on this mapping
+    * or the oracle check breaks — both call this function.
+    */
+  def lshPlaneRow(idx: Int): Int =
+    if (idx < pqPlaneStart) idx else idx + pqReservedRows
+
+  /** Planes available to LSH geometries: the pool minus the PQ block. */
+  val lshPlaneBudget: Int = maxPlanes - pqReservedRows
 
   /** Seed 7 — must stay stable: the q54 oracle and the q56 recall spec pin
     * results under these exact planes. `scala.util.Random` generates
@@ -235,16 +262,16 @@ object Hyperplanes {
   }
 
   /** Held-L DuckDB replica — identical plane indexing
-    * (t · bitsPerTable + b into [[planesAll]]) and MSB-first weighting as
-    * [[LshBucketsExpr]], so bucket ids agree bit-for-bit at any
-    * (bits, tables) point of the parameterized budget.
+    * ([[lshPlaneRow]] of t · bitsPerTable + b into [[planesAll]]) and
+    * MSB-first weighting as [[LshBucketsExpr]], so bucket ids agree
+    * bit-for-bit at any (bits, tables) point of the parameterized budget.
     */
   def duckBucketsSql(emb: String, bitsPerTable: Int, numTables: Int): String = {
-    require(bitsPerTable > 0 && numTables > 0 && bitsPerTable * numTables <= maxPlanes,
-      s"geometry $numTables x $bitsPerTable exceeds the $maxPlanes-plane budget")
+    require(bitsPerTable > 0 && numTables > 0 && bitsPerTable * numTables <= lshPlaneBudget,
+      s"geometry $numTables x $bitsPerTable exceeds the $lshPlaneBudget-plane LSH budget")
     val buckets = (0 until numTables).map { tbl =>
       (0 until bitsPerTable).map { b =>
-        val p = planeArraySql(planesAll(tbl * bitsPerTable + b), "[", "]")
+        val p = planeArraySql(planesAll(lshPlaneRow(tbl * bitsPerTable + b)), "[", "]")
         s"""(CASE WHEN list_reduce(
              [CAST($emb[i] AS DOUBLE) * ($p)[i] FOR i IN generate_series(1, $dim)],
              (acc, v) -> acc + v) > 0 THEN ${1 << (bitsPerTable - 1 - b)} ELSE 0 END)"""

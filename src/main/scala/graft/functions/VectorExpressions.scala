@@ -156,8 +156,8 @@ case class LshBucketsExpr(child: Expression,
   // bits with the corpus no longer shrinks the table count.
   require(bitsPerTable > 0 && bitsPerTable <= 30 &&
     (if (numTables == -1) Hyperplanes.tables * Hyperplanes.bits / bitsPerTable >= 1
-     else numTables > 0 && numTables * bitsPerTable <= Hyperplanes.maxPlanes),
-    s"geometry ${numTables} x $bitsPerTable exceeds the ${Hyperplanes.maxPlanes}-plane budget")
+     else numTables > 0 && numTables * bitsPerTable <= Hyperplanes.lshPlaneBudget),
+    s"geometry ${numTables} x $bitsPerTable exceeds the ${Hyperplanes.lshPlaneBudget}-plane LSH budget")
 
   private def nTables: Int =
     if (numTables == -1) Hyperplanes.tables * Hyperplanes.bits / bitsPerTable
@@ -182,7 +182,7 @@ case class LshBucketsExpr(child: Expression,
       var bucket = 0
       var b = 0
       while (b < bitsPerTable) {
-        val off = (t * bitsPerTable + b) * Hyperplanes.dim
+        val off = Hyperplanes.lshPlaneRow(t * bitsPerTable + b) * Hyperplanes.dim
         var s = 0.0
         var i = 0
         while (i < dim) { s += emb.getDouble(i) * flatPlanes(off + i); i += 1 }
@@ -207,13 +207,21 @@ case class LshBucketsExpr(child: Expression,
       val s = ctx.freshName("s")
       val off = ctx.freshName("off")
       val bucket = ctx.freshName("bucket")
+      // lshPlaneRow inlined (codegen can't call back into Scala): plane
+      // indices at/above the reserved PQ block shift past it. Geometries
+      // that never reach row 448 get the identity expression, keeping
+      // their generated code byte-identical to pre-r11 plans.
+      val rowOf =
+        if (tables * bits <= Hyperplanes.pqPlaneStart) s"($t * $bits + $b)"
+        else s"(($t * $bits + $b) < ${Hyperplanes.pqPlaneStart} " +
+          s"? ($t * $bits + $b) : ($t * $bits + $b) + ${Hyperplanes.pqReservedRows})"
       s"""
          |int $n = java.lang.Math.min($emb.numElements(), $dim);
          |int[] $out = new int[$tables];
          |for (int $t = 0; $t < $tables; $t++) {
          |  int $bucket = 0;
          |  for (int $b = 0; $b < $bits; $b++) {
-         |    int $off = ($t * $bits + $b) * $dim;
+         |    int $off = $rowOf * $dim;
          |    double $s = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
          |      $s += $emb.getDouble($i) * $planes[$off + $i];

@@ -696,6 +696,32 @@ object Dedup {
   val q166Sql: String =
     neardupOracleSql(17, multiProbe = true, numTables = 16, from = plantedEmbeddingsSql)
 
+  /** q167 — the sf10-decade RECALL-GRADE posture: GROWN-L 32 tables × 17
+    * bits with 1-bit multi-probing (544 planes — the first geometry to
+    * route around the reserved PQ block, [[graft.functions.Hyperplanes
+    * .lshPlaneRow]]). This fills the per-decade doctrine's one empty cell
+    * (VERDICT r10 item 1): sf1's recall-grade posture is q152 (32×11+mp,
+    * 88.8% of grazing truth); the sf10 column topped out at q166's 12.0%.
+    * The round-9/10 measured finding — L buys recall ~LINEARLY while b
+    * cuts candidates EXPONENTIALLY (recall ≈ L·(p^b + b·p^(b−1)(1−p))
+    * when per-table collision ≪ 1, candidates exactly ∝ L) — predicts
+    * doubling L from q166 doubles both: ~24% recall at ~1.6e8
+    * candidates (0.8% of all pairs) at the 100× decade. The round-11
+    * RecallProbeAtScale factor-100 run measures exactly that (grade in
+    * BASELINE.md); q157 stays the cost-first registered posture, q166
+    * the midpoint, q167 the recall grade — the q149/q151/q152 triplet
+    * one decade up. Verified at the small SFs on the planted exact
+    * clones like every wide geometry.
+    */
+  def q167EmbeddingNeardupRecall17(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 17, numTables = 32,
+      multiProbe = true)
+  }
+
+  val q167Sql: String =
+    neardupOracleSql(17, multiProbe = true, numTables = 32, from = plantedEmbeddingsSql)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -1055,7 +1081,8 @@ object Dedup {
     "q153_consensus_dedup_wide14" -> (q153ConsensusDedupWide14 _),
     "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _),
     "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _),
-    "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _))
+    "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _),
+    "q167_embedding_neardup_recall17" -> (q167EmbeddingNeardupRecall17 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1081,5 +1108,6 @@ object Dedup {
     "q153_consensus_dedup_wide14" -> q153Sql,
     "q157_embedding_neardup_wide17" -> q157Sql,
     "q158_consensus_dedup_wide17" -> q158Sql,
-    "q166_embedding_neardup_wide17_mp" -> q166Sql)
+    "q166_embedding_neardup_wide17_mp" -> q166Sql,
+    "q167_embedding_neardup_recall17" -> q167Sql)
 }

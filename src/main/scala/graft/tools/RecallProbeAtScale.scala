@@ -20,10 +20,23 @@ import org.apache.spark.sql.functions._
   * against the translated truth. Candidate-pair counts are measured on
   * the same corpus — the cost axis of the frontier.
   *
-  * Cross-replica keeps are reported separately as a fixture-soundness
-  * check (the orthogonal-transform design predicts ~0; a nonzero count
-  * means the replica transform leaked geometry, not that the posture
-  * found something).
+  * Cross-replica keeps are reported separately and EXCLUDED from the
+  * translated-truth denominator. They are NOT fixture leakage: the
+  * round-10 factor-100 runs measured 22k–203k of them, every one having
+  * passed embeddingNearDups' exact cosine ≥ 0.45 verify, and
+  * BASELINE.md's round-10 adjudication records them as TRUE pairs —
+  * replica truth is "linear-plus-a-tail" (the signed permutation
+  * transform collapses cross-replica cosines TOWARD 0, but with 64-dim
+  * vectors a real above-threshold tail survives at large factors). So
+  * within-replica recall grades stay sound (their truth set is exact),
+  * while the cross tail is a real part of the replica corpus's truth
+  * that this tool cannot afford to enumerate exactly. To distinguish a
+  * genuine tail from a verify-stage bug mechanically (VERDICT r10 item
+  * 2), the tool re-verifies a bounded sample of cross-replica keeps
+  * with an INDEPENDENT plain-Scala dot product and reports
+  * `cross_replica_true_rate` (expect 1.0: the pairs already passed the
+  * codegen'd exact verify; a lower rate would indict `graft_dot` or the
+  * join, not the fixture).
   *
   * Usage: tools/run_local.sh graft.tools.RecallProbeAtScale \
   *          <srcSfDir> <replicaDir> [postures]
@@ -78,9 +91,33 @@ object RecallProbeAtScale {
       val hits = within.count(p => truth.contains((p._1 % maxVec, p._2 % maxVec)))
       val cand = graft.ops.Dedup.embeddingCandidates(rep, b, mp, l).count()
       val denom = truth.size.toLong * factor
+      // Independent re-verify of a bounded cross-replica sample (see the
+      // scaladoc): deterministic stride sample, plain-Scala dot.
+      val sampleN = 1000
+      val crossSample =
+        if (cross.length <= sampleN) cross.toSeq
+        else { val step = cross.length / sampleN
+          (0 until sampleN).map(i => cross(i * step)) }
+      val crossRate =
+        if (crossSample.isEmpty) 1.0
+        else {
+          val ids = crossSample.flatMap(p => Seq(p._1, p._2)).distinct
+          val vecs = rep.filter(col("vec_id").isin(ids: _*))
+            .collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          val ok = crossSample.count { case (a, bId) =>
+            val (va, vb) = (vecs(a), vecs(bId))
+            var dot = 0.0; var i = 0
+            while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+            dot >= 0.45
+          }
+          ok.toDouble / crossSample.size
+        }
       println(f"""{"posture":"$label","kept":$hits,"truth":$denom,""" +
         f""""recall":${hits.toDouble / denom}%.3f,"extra_within":${within.length - hits},""" +
-        f""""cross_replica":${cross.length},"candidate_pairs":$cand,"sec":$sec%.1f}""")
+        f""""cross_replica":${cross.length},"cross_replica_sampled":${crossSample.size},""" +
+        f""""cross_replica_true_rate":$crossRate%.3f,""" +
+        f""""candidate_pairs":$cand,"sec":$sec%.1f}""")
       spark.catalog.clearCache()
     }
     spark.stop()

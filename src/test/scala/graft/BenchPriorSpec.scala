@@ -38,6 +38,47 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(sf.contains("/root/testdata/sf0.1"))
   }
 
+  test("r11 chunked emission: chunks merge under the minimal total line") {
+    // Since round 11 the per-query map rides stdout as self-identifying
+    // bench_chunk lines; the total line carries only scalars + audit.
+    val chunked =
+      """{"bench_chunk":1,"of":2,"queries":{"q1":0.5,"q2":1.25}}""" + "\n" +
+        """{"bench_chunk":2,"of":2,"queries":{"q3":2}}""" + "\n" +
+        """{"metric":"total","unit":"sec","chunks":2,"audit":["q2"],"value":3.75,"anchor":0.15,"sf":"/root/testdata/sf0.1"}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(chunked)).get
+    assert(anchor == 0.15)
+    assert(qs == Map("q1" -> 0.5, "q2" -> 1.25, "q3" -> 2.0))
+    assert(sf.contains("/root/testdata/sf0.1"))
+  }
+
+  test("head-truncated chunked capture: surviving chunks + total line, no fragment regex") {
+    // The driver keeps the LAST 2000 chars: the leading chunk line
+    // arrives beheaded (unparseable — skipped), later chunks and the
+    // total line are intact. Recovery must be exactly the surviving
+    // chunks' queries with the total line's scalars.
+    val frag =
+      """2,"q9":0.77}}""" + "\n" +
+        """{"bench_chunk":3,"of":3,"queries":{"q10":1.5,"q11":0.25}}""" + "\n" +
+        """{"metric":"total","unit":"sec","chunks":3,"audit":[],"value":9.9,"anchor":0.2,"sf":"/tmp/sf1"}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(frag)).get
+    assert(anchor == 0.2)
+    assert(qs == Map("q10" -> 1.5, "q11" -> 0.25),
+      "the beheaded chunk must be skipped whole — no regex scraping of its tail")
+    assert(sf.contains("/tmp/sf1"))
+  }
+
+  test("two chunked runs in one capture: the LAST run wins, chunks never mix") {
+    val two =
+      """{"bench_chunk":1,"of":1,"queries":{"q1":9,"q2":9}}""" + "\n" +
+        """{"metric":"total","unit":"sec","chunks":1,"audit":[],"value":18,"anchor":0.9,"sf":"/tmp/sf1"}""" + "\n" +
+        """{"bench_chunk":1,"of":1,"queries":{"q1":0.4}}""" + "\n" +
+        """{"metric":"total","unit":"sec","chunks":1,"audit":[],"value":0.4,"anchor":0.1,"sf":"/tmp/sf10"}"""
+    val (anchor, qs, sf) = Bench.loadPrior(write(two)).get
+    assert(anchor == 0.1)
+    assert(qs == Map("q1" -> 0.4), "run-1 chunks must not leak into run 2")
+    assert(sf.contains("/tmp/sf10"))
+  }
+
   test("single complete line parses with anchor, queries, and sf") {
     val (anchor, qs, sf) = Bench.loadPrior(write(line1)).get
     assert(anchor == 0.2)

@@ -455,7 +455,8 @@ class DedupSpec extends SparkSpec {
       ("q151", ops.Dedup.q151EmbeddingNeardupWide14Mp _),
       ("q152", ops.Dedup.q152EmbeddingNeardupRecall _),
       ("q157", ops.Dedup.q157EmbeddingNeardupWide17 _),
-      ("q166", ops.Dedup.q166EmbeddingNeardupWide17Mp _))
+      ("q166", ops.Dedup.q166EmbeddingNeardupWide17Mp _),
+      ("q167", ops.Dedup.q167EmbeddingNeardupRecall17 _))
     postures.foreach { case (name, q) =>
       val got = q(spark, sfDir).select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(planted.subsetOf(got),
@@ -480,5 +481,21 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(probed.nonEmpty && bare.subsetOf(probed),
       s"q166 lost pairs q157 keeps: ${bare -- probed}")
+  }
+
+  test("q167 (32x17 + probes) results are a superset of q166's (16x17 + probes)") {
+    // Growing L only ADDS tables: q167's first 16 tables draw the SAME
+    // plane rows as q166's 16 (indices 0..271, below the reserved PQ
+    // block, so lshPlaneRow is the identity there) — every q166 candidate
+    // is a q167 candidate, and the exact verify is a pure filter. This
+    // pin also exercises the first geometry that routes around the PQ
+    // block (tables 27+ use pool rows 512+).
+    graft.functions.VectorExpressions.register(spark)
+    val mid = ops.Dedup.q166EmbeddingNeardupWide17Mp(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = ops.Dedup.q167EmbeddingNeardupRecall17(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(recall.nonEmpty && mid.subsetOf(recall),
+      s"q167 lost pairs q166 keeps: ${mid -- recall}")
   }
 }

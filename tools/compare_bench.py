@@ -3,8 +3,9 @@
 
 Usage: python3 tools/compare_bench.py BENCH_rOLD.json BENCH_rNEW.json [threshold]
 
-Accepts either the driver's wrapper JSON ({"tail": "..."} containing the
-bench line) or a raw file containing the line. Ratios are
+Accepts the driver's wrapper JSON ({"tail": "..."} containing the bench
+output), a raw file containing a single bench line, or the r11+ chunked
+stdout emission (bench_chunk lines + minimal total line). Ratios are
 (new_sec / old_sec) / (new_anchor / old_anchor): the machine-speed anchor
 cancels ambient variance, so a ratio > threshold (default 1.5) flags a
 real plan/operator regression rather than a slow boot. Queries present in
@@ -21,22 +22,48 @@ def load(path):
             txt = wrapper["tail"]  # driver wrapper: bench line inside, unescaped by the parse
     except json.JSONDecodeError:
         pass
-    # Prefer a full JSON parse of the LAST complete bench line (the same
-    # policy as Bench.loadPrior): a line rewritten by merge_probe_line.py
-    # carries fields AFTER "sf" ("merged":[...]), which a regex pinned to
-    # '"sf":"..."}' silently rejects — that demoted a complete 155-query
-    # line to the fragment path, dropping its "audit" array.
-    for line in reversed(txt.splitlines()):
-        line = line.strip()
-        start = line.find('{"metric":"total"')
+    # Preferred path (mirrors Bench.loadPrior): walk the capture in line
+    # order. r11+ emits the per-query map as self-identifying
+    # {"bench_chunk":i,"of":N,"queries":…} lines followed by a minimal
+    # total line (no map of its own); chunk lines accumulate until a
+    # "metric":"total" line closes the run, whose own "queries" map
+    # (legacy full/minimal lines carry one) merges OVER the chunks. The
+    # LAST closed run wins and the accumulator resets at every total
+    # line, so two runs appended to one capture never mix. A
+    # head-truncated capture loses only leading chunk lines (their parse
+    # fails and they are skipped); "of" vs the chunks seen names exactly
+    # what was lost.
+    chunk_acc, chunks_seen, chunks_of, last = {}, set(), None, None
+    for raw in txt.splitlines():
+        start = raw.find('{"bench_chunk"')
         if start >= 0:
             try:
-                return json.loads(line[start:])
+                j = json.loads(raw[start:])
+                chunk_acc.update(j.get("queries", {}))
+                chunks_seen.add(j.get("bench_chunk"))
+                chunks_of = j.get("of", chunks_of)
             except json.JSONDecodeError:
                 pass
-    m = re.findall(r'\{"metric":"total".*?"sf":"[^"]*"(?:,"merged":\[[^\]]*\])?\}', txt)
-    if m:
-        return json.loads(m[-1])
+            continue
+        start = raw.find('{"metric":"total"')
+        if start >= 0:
+            try:
+                j = json.loads(raw[start:])
+                qs = dict(chunk_acc)
+                qs.update(j.get("queries", {}))
+                if qs:
+                    j["queries"] = qs
+                    if chunks_of and chunks_seen != set(range(1, chunks_of + 1)):
+                        missing = sorted(set(range(1, chunks_of + 1)) - chunks_seen)
+                        print(f"note: {path}: chunks {missing} of {chunks_of} lost to "
+                              f"capture truncation ({len(qs)} queries recovered)",
+                              file=sys.stderr)
+                    last = j
+            except json.JSONDecodeError:
+                pass
+            chunk_acc, chunks_seen, chunks_of = {}, set(), None
+    if last is not None:
+        return last
     # HEAD-TRUNCATED fragment (the r07 failure: the driver's bounded
     # stdout capture keeps the END of the line): reconstruct by regex.
     # Bench emits "queries" LAST among qNN-keyed objects ("remeasured"

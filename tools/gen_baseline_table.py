@@ -7,7 +7,12 @@ label (production vs labeled ground-truth audit baseline).
 Inputs: a full-suite bench JSON line (sf0.1) and the scale-probe output
 directory holding bench_sf01/bench_sf1/bench_sf10.json from the same boot.
 
-Usage: tools/gen_baseline_table.py FULL_BENCH.json PROBE_DIR
+Usage: tools/gen_baseline_table.py FULL_BENCH.json PROBE_DIR [ROUND]
+
+ROUND (optional) stamps the emitted section header; the header travels
+WITH the table so BASELINE.md's headline can never contradict its
+contents again (VERDICT r10 item 6: the round-9 header sat above the
+regenerated round-10 table for a full round).
 """
 import os, sys
 
@@ -62,6 +67,10 @@ def main():
     merged10 = set(p10.get("merged", []))
     merged_full = set(full.get("merged", []))
 
+    rnd = sys.argv[3] if len(sys.argv) > 3 else "?"
+    print(f"## Canonical per-query table (round {rnd}, "
+          f"{len(full['queries'])} queries)")
+    print()
     print("| query | sf0.1 s | sf1 ratio (10x) | sf10 ratio (100x) | posture |")
     print("|---|---|---|---|---|")
     for q in sorted(full["queries"], key=lambda x: (len(x), x)):
