@@ -119,22 +119,23 @@ object Bench {
     * complete by construction while the driver capture is a bounded tail
     * (ADVICE r10). Set SPARK_GRAFT_PRIOR=none to disable.
     */
-  private def priorPath(): Option[String] = sys.env.get("SPARK_GRAFT_PRIOR") match {
-    case Some("none") | Some("") => None
-    case Some(p) => Some(p)
-    case None =>
-      val re = """BENCH_r(\d+)\.json""".r
-      val fullRe = """bench_full_r(\d+)\.json""".r
-      val driver = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-        .flatMap(f => f.getName match {
-          case re(n) => Some((n.toInt, 0, f.getPath)); case _ => None })
-      val archived = Option(new java.io.File("probes").listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.isDirectory)
-        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
-        .flatMap(f => f.getName match {
-          case fullRe(n) => Some((n.toInt, 1, f.getPath)); case _ => None })
-      (driver ++ archived).sortBy(t => (t._1, t._2)).lastOption.map(_._3)
-  }
+  private[graft] def priorPath(base: String = "."): Option[String] =
+    sys.env.get("SPARK_GRAFT_PRIOR") match {
+      case Some("none") | Some("") => None
+      case Some(p) => Some(p)
+      case None =>
+        val re = """BENCH_r(\d+)\.json""".r
+        val fullRe = """bench_full_r(\d+)\.json""".r
+        val driver = Option(new java.io.File(base).listFiles()).getOrElse(Array.empty[java.io.File])
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, 0, f.getPath)); case _ => None })
+        val archived = Option(new java.io.File(base, "probes").listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(_.isDirectory)
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+          .flatMap(f => f.getName match {
+            case fullRe(n) => Some((n.toInt, 1, f.getPath)); case _ => None })
+        (driver ++ archived).sortBy(t => (t._1, t._2)).lastOption.map(_._3)
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

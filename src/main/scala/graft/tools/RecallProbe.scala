@@ -53,7 +53,8 @@ object RecallProbe {
       ("16x14", 14, 16, false), ("16x14+mp", 14, 16, true),
       ("32x11", 11, 32, false), ("32x11+mp", 11, 32, true),
       ("32x14", 14, 32, false), ("32x14+mp", 14, 32, true),
-      ("16x17", 17, 16, false), ("16x17+mp", 17, 16, true))
+      ("16x17", 17, 16, false), ("16x17+mp", 17, 16, true),
+      ("32x17", 17, 32, false), ("32x17+mp", 17, 32, true))
     postures.foreach { case (label, bits, tables, mp) =>
       val got = pairs(bits, tables, mp)
       val kept = (got & truth).size

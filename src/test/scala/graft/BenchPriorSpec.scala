@@ -118,6 +118,23 @@ class BenchPriorSpec extends AnyFunSuite {
     assert(anchor == 0.1 && qs == Map("q1" -> 0.5) && sf.contains("/tmp/sf1"))
   }
 
+  test("default prior prefers the archived full line over the driver capture at the same round") {
+    // ADVICE r10: the archived probes/rNN/bench_full_rNN.json is complete
+    // by construction while the driver BENCH_rNN.json is a bounded tail —
+    // at equal rounds the archive must win; a NEWER driver capture still
+    // beats an older archive.
+    assume(sys.env.get("SPARK_GRAFT_PRIOR").isEmpty)
+    val base = java.nio.file.Files.createTempDirectory("bench-prior-base")
+    java.nio.file.Files.writeString(base.resolve("BENCH_r9.json"), "{}")
+    val archive = base.resolve("probes/r9")
+    java.nio.file.Files.createDirectories(archive)
+    java.nio.file.Files.writeString(archive.resolve("bench_full_r9.json"), "{}")
+    assert(Bench.priorPath(base.toString).exists(_.endsWith("bench_full_r9.json")))
+    java.nio.file.Files.writeString(base.resolve("BENCH_r10.json"), "{}")
+    assert(Bench.priorPath(base.toString).exists(_.endsWith("BENCH_r10.json")),
+      "a newer driver capture must beat an older archive")
+  }
+
   test("missing file or no recoverable anchor yields None, not a throw") {
     assert(Bench.loadPrior("/nonexistent/bench.json").isEmpty)
     assert(Bench.loadPrior(write("""{"queries-less":"noise"}""")).isEmpty)
