@@ -33,13 +33,14 @@ object Hyperplanes {
     * (8×8 → 5×11 → 4×14), which is where the measured recall collapse
     * came from — recall ≈ 1−(1−p^b)^L needs L held (or grown) while b
     * steps with log₂(corpus). Grown 512 → 640 in round 11 for the
-    * 32×17 sf10-decade recall posture (q167): `scala.util.Random`
-    * generates row-sequentially, so rows [0, 512) — including the PQ
-    * seed rows at [[pqPlaneStart]] — are bit-identical to the round-8
-    * pool and every existing geometry/oracle/persisted codebook is
-    * unchanged by the growth.
+    * 32×17 sf10-decade recall posture (q167), then 640 → 1024 for the
+    * 20-bit sf100-class family (q168) with headroom to 32×20+mp:
+    * `scala.util.Random` generates row-sequentially, so every prefix —
+    * including the PQ seed rows at [[pqPlaneStart]] — is bit-identical
+    * across growths and no existing geometry/oracle/persisted codebook
+    * ever changes when the budget grows.
     */
-  val maxPlanes = 640
+  val maxPlanes = 1024
 
   /** Rows [pqPlaneStart, pqPlaneStart + pqReservedRows) are RESERVED for
     * the PQ seed partition (only [448, 456) is used today; the block

@@ -722,6 +722,28 @@ object Dedup {
   val q167Sql: String =
     neardupOracleSql(17, multiProbe = true, numTables = 32, from = plantedEmbeddingsSql)
 
+  /** q168 — the dial's NEXT decade step: held-L 16 tables × 20 bits (320
+    * planes, rows 0–319, below the reserved PQ block). b ≈ log₂ n says
+    * the sf100-class corpus (2M vectors) wants b ≈ 20–21; stepping 17 →
+    * 20 cuts same-bucket candidates 8× at identical L, exactly the
+    * q149 → q157 move one decade up. Registered MEASURED, not argued:
+    * the round-11 factor-1000 `RecallProbeAtScale` run (2M-vector
+    * replica corpus, probes/r11) grades it at its own decade beside
+    * 16×17 — whose candidate volume at 2M vectors is the previous
+    * decade's knee arithmetic made visible — and the planted exact
+    * clones keep the verify-SF gate non-vacuous as with every wide
+    * geometry. Recall buy-backs (probes / grown L) compose exactly as at
+    * 17 bits when the deployment wants them; the cost-first b-step is
+    * the registered posture, per the doctrine.
+    */
+  def q168EmbeddingNeardupWide20(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 20, numTables = 16)
+  }
+
+  val q168Sql: String =
+    neardupOracleSql(20, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -1082,7 +1104,8 @@ object Dedup {
     "q157_embedding_neardup_wide17" -> (q157EmbeddingNeardupWide17 _),
     "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _),
     "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _),
-    "q167_embedding_neardup_recall17" -> (q167EmbeddingNeardupRecall17 _))
+    "q167_embedding_neardup_recall17" -> (q167EmbeddingNeardupRecall17 _),
+    "q168_embedding_neardup_wide20" -> (q168EmbeddingNeardupWide20 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1109,5 +1132,6 @@ object Dedup {
     "q157_embedding_neardup_wide17" -> q157Sql,
     "q158_consensus_dedup_wide17" -> q158Sql,
     "q166_embedding_neardup_wide17_mp" -> q166Sql,
-    "q167_embedding_neardup_recall17" -> q167Sql)
+    "q167_embedding_neardup_recall17" -> q167Sql,
+    "q168_embedding_neardup_wide20" -> q168Sql)
 }

@@ -456,7 +456,8 @@ class DedupSpec extends SparkSpec {
       ("q152", ops.Dedup.q152EmbeddingNeardupRecall _),
       ("q157", ops.Dedup.q157EmbeddingNeardupWide17 _),
       ("q166", ops.Dedup.q166EmbeddingNeardupWide17Mp _),
-      ("q167", ops.Dedup.q167EmbeddingNeardupRecall17 _))
+      ("q167", ops.Dedup.q167EmbeddingNeardupRecall17 _),
+      ("q168", ops.Dedup.q168EmbeddingNeardupWide20 _))
     postures.foreach { case (name, q) =>
       val got = q(spark, sfDir).select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(planted.subsetOf(got),
