@@ -192,10 +192,13 @@ object Hyperplanes {
   /** Product-quantization sub-planes (q154): plane rows
     * [pqPlaneStart, pqPlaneStart + pqBits) of the seed-7 pool, each SLICED
     * across the `pqM` subspaces — subplane(m, b) = row(pqPlaneStart + b)
-    * components [m·subDim, (m+1)·subDim). Rows 448–451 are disjoint from
-    * every registered LSH geometry (the widest, q152's 32×11, ends at row
-    * 351), so the PQ seed partition shares the pool without entangling
-    * any bucket family.
+    * components [m·subDim, (m+1)·subDim). Disjointness from every LSH
+    * geometry is guaranteed by [[lshPlaneRow]] routing LSH plane indices
+    * ≥ [[pqPlaneStart]] around the whole reserved
+    * [pqPlaneStart, pqPlaneStart + pqReservedRows) block — not by LSH
+    * geometries happening to be narrow (q167's 544 planes reach pool row
+    * 607) — so the PQ seed partition shares the pool without entangling
+    * any bucket family at any registered width.
     */
   val pqPlaneStart = 448
   val pqM = 8

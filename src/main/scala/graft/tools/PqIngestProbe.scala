@@ -60,9 +60,12 @@ object PqIngestProbe {
       .limit(50).cache()
     val nQueries = queries.count()
     val indexPath = s"$workDir/idx"
-    val root = java.nio.file.Paths.get(workDir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+    // Reset ONLY the probe's own subtree (workDir/idx) — never the whole
+    // workDir: a mistyped argument (the corpus dir, the repo root) must
+    // not be silently destroyed (ADVICE r11).
+    val idxRoot = java.nio.file.Paths.get(indexPath)
+    if (java.nio.file.Files.exists(idxRoot))
+      java.nio.file.Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.delete(p))
 
     def secs[T](f: => T): (T, Double) = {

@@ -94,10 +94,12 @@ object RecallProbeAtScale {
       // Independent re-verify of a bounded cross-replica sample (see the
       // scaladoc): deterministic stride sample, plain-Scala dot.
       val sampleN = 1000
+      // Long arithmetic stride i·len/N covers the WHOLE array at any
+      // length > sampleN; the old ⌊len/N⌋ step degenerated to the first
+      // 1000 pairs for 1000 ≤ len < 2000 (VERDICT r11 minor).
       val crossSample =
         if (cross.length <= sampleN) cross.toSeq
-        else { val step = cross.length / sampleN
-          (0 until sampleN).map(i => cross(i * step)) }
+        else (0 until sampleN).map(i => cross((i.toLong * cross.length / sampleN).toInt))
       val crossRate =
         if (crossSample.isEmpty) 1.0
         else {

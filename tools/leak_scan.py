@@ -50,11 +50,11 @@ PATTERNS = {
 }
 
 # (pattern, path-suffix, regex-of-line) triples adjudicated benign, with why.
-ALLOW = [
-    # PII-redaction fixture: a deliberately fake corp email domain on the
-    # RESERVED example.org, exercised by q106 (documents.pii_redact).
-    ("internal-url", None, re.compile(r"example\.org")),
-]
+# Currently empty: the q106 PII fixture's example.org email domain needs no
+# entry — the internal-url pattern's negative lookahead already excludes
+# example.(com|org|net) URLs, and bare email domains never match the
+# https?:// prefix (ADVICE r11: the old entry here was unreachable).
+ALLOW = []
 
 SCAN_DIRS = ["src", "tools"]
 SKIP_SUFFIX = {".parquet", ".crc", ".class", ".jar"}
