@@ -744,6 +744,35 @@ object Dedup {
   val q168Sql: String =
     neardupOracleSql(20, multiProbe = false, numTables = 16, from = plantedEmbeddingsSql)
 
+  /** q169 — the sf100-decade RECALL BUY-BACK: GROWN-L 32 tables × 20 bits
+    * (640 plane indices, the second geometry routed around the reserved
+    * PQ block — tables 23+ draw pool rows 512–703 via
+    * [[graft.functions.Hyperplanes.lshPlaneRow]]). Registered MEASURED at
+    * its own decade, and with the OTHER dial's death measured beside it:
+    * on the factor-1000 / 2M-vector replica corpus, 32×20 grades 0.7% of
+    * grazing truth at 1.8e8 candidates (round 11; re-measured this round
+    * as the q169 registration row, probes/r12/recall_sf100_q169.log) —
+    * 1.75× bare q168's 0.4% at ~1.97× candidates, the L-linearity
+    * finding holding at a third decade — while the probe dial that served
+    * as the buy-back at lower decades is a MEASURED HARD FAILURE here:
+    * 16×20+mp's ~×18 candidate price (~1.7e9 pairs) filled the
+    * machine's ~76 GB of free disk
+    * (probes/r12/recall_sf100_16x20mp_death.log), and 32×20+mp (~3.4e9)
+    * is excluded by the same arithmetic. So at the sf100 decade the
+    * affordable recall frontier is L-growth, not probing: candidates
+    * scale LINEARLY in L versus the probe dial's ×(1+b) — at b = 20 the
+    * probe multiplier has outgrown the disk budget L-growth stays under.
+    * Verified at the small SFs on the planted exact clones like every
+    * wide geometry; q168 stays the cost-first registered posture.
+    */
+  def q169EmbeddingNeardupRecall20(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    embeddingNearDups(plantedEmbeddings(s, dir), bitsPerTable = 20, numTables = 32)
+  }
+
+  val q169Sql: String =
+    neardupOracleSql(20, multiProbe = false, numTables = 32, from = plantedEmbeddingsSql)
+
   /** Prefix-filtered Jaccard self-join (AllPairs/PPJoin family — Bayardo,
     * Ma, Srikant, "Scaling Up All Pairs Similarity Search", WWW'07): index
     * only each document's PREFIX — its |A| − ⌈t·|A|⌉ + 1 globally-rarest
@@ -1105,7 +1134,8 @@ object Dedup {
     "q158_consensus_dedup_wide17" -> (q158ConsensusDedupWide17 _),
     "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _),
     "q167_embedding_neardup_recall17" -> (q167EmbeddingNeardupRecall17 _),
-    "q168_embedding_neardup_wide20" -> (q168EmbeddingNeardupWide20 _))
+    "q168_embedding_neardup_wide20" -> (q168EmbeddingNeardupWide20 _),
+    "q169_embedding_neardup_recall20" -> (q169EmbeddingNeardupRecall20 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1133,5 +1163,6 @@ object Dedup {
     "q158_consensus_dedup_wide17" -> q158Sql,
     "q166_embedding_neardup_wide17_mp" -> q166Sql,
     "q167_embedding_neardup_recall17" -> q167Sql,
-    "q168_embedding_neardup_wide20" -> q168Sql)
+    "q168_embedding_neardup_wide20" -> q168Sql,
+    "q169_embedding_neardup_recall20" -> q169Sql)
 }

@@ -2211,6 +2211,159 @@ object Similarity {
     pqAdcRerankOn(newVecs, coldVecs, adc)
   }
 
+  // ------------------------------------------------------------------
+  // Geometry-step migration (VERDICT r11 item 1): the per-decade doctrine
+  // proved b must step with log₂(corpus) — measured at three decades —
+  // but both persisted index families pinned (bits, tables) at build time
+  // with fail-fast appends, so a corpus that grew a decade had no path
+  // except a full rebuild. A rebucket is that path: only the DERIVED
+  // bucket/bgrp columns depend on the geometry — the PQ codes, the
+  // codebook/grouping model, and (in the float family) the vectors are
+  // all geometry-independent — so migration is hash + rewrite of the
+  // index tree: no re-encode (the Θ(n·M·56) beamed encode that dominates
+  // a rebuild), no codebook retrain (which would silently shift every
+  // resident code's meaning), no model I/O beyond a verbatim copy.
+  // ------------------------------------------------------------------
+
+  /** One resident row per vector from a bucket-exploded index tree: the
+    * writer explodes every vector into ALL `numTables` tables (appends
+    * too), so table 0 alone holds the full resident set — reading it is a
+    * partition-pruned 1/numTables scan. `distinct` compacts the
+    * result-neutral crash-window duplicates ([[graft.streaming.AnnIngest]]
+    * appends between "files landed" and "marker written") — a rebucket is
+    * the natural compaction point for them.
+    */
+  private def indexResidents(s: SparkSession, path: String,
+                             payload: String): DataFrame =
+    s.read.parquet(path).filter(col("tbl") === 0)
+      .select(col("vec_id"), col(payload)).distinct()
+
+  /** Re-derive the bucket tree for `rows` (vec_id, emb, payloadCols…) at a
+    * new geometry and ATOMICALLY swap it in: signatures hash off `emb`,
+    * the written rows keep (vec_id, payloadCols…, tbl, bucket, bgrp) — the
+    * exact schema the family's writer lays down. The new tree is fully
+    * written — bucket rows, `_geometry`, every `extraRels` relation copied
+    * verbatim, `_ingest` replay markers — under `path.__rebucket` BEFORE
+    * the two directory renames that publish it, so a failure at any
+    * earlier point leaves the index serving the old geometry untouched.
+    * Locally the swap is two same-filesystem renames; on an object store
+    * the same discipline is a manifest/pointer update — either way the
+    * serving window is the swap, not the rewrite, which is what makes the
+    * migration an online maintenance op instead of a serving outage.
+    */
+  private def rebucketSwap(s: SparkSession, path: String, rows: DataFrame,
+                           payloadCols: Seq[String], newBits: Int,
+                           newTables: Int, extraRels: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tmp = s"$path.__rebucket"
+    val old = s"$path.__old"
+    Seq(tmp, old).foreach { p =>
+      val root = Paths.get(p)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+    }
+    val grpBits = indexGrpBits(newBits)
+    val keep = col("vec_id") +: payloadCols.map(col)
+    rows
+      .select(keep :+ posexplode(
+        expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", newBits, newTables)))
+        .as(Seq("tbl", "bucket")): _*)
+      .select(keep :+ col("tbl").cast("int").as("tbl")
+        :+ col("bucket").cast("int").as("bucket"): _*)
+      .withColumn("bgrp", col("bucket").bitwiseAND(lit((1 << grpBits) - 1)))
+      .repartition(col("tbl"), col("bgrp"))
+      .sortWithinPartitions(col("tbl"), col("bgrp"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl", "bgrp").parquet(tmp)
+    s.range(1)
+      .select(lit(newBits).as("bits"), lit(newTables).as("tables"))
+      .write.mode("overwrite").parquet(s"$tmp/_geometry")
+    extraRels.foreach { rel =>
+      if (Files.exists(Paths.get(s"$path/$rel")))
+        s.read.parquet(s"$path/$rel").write.mode("overwrite").parquet(s"$tmp/$rel")
+    }
+    // Replay state travels with the index (the AnnIngest commit markers):
+    // every already-committed batch's rows ARE in the rebucketed tree, so
+    // dropping the markers would make a resumed stream re-append them.
+    val ingest = Paths.get(path, "_ingest")
+    if (Files.exists(ingest)) {
+      Files.createDirectories(Paths.get(tmp, "_ingest"))
+      import scala.jdk.CollectionConverters._
+      Files.list(ingest).iterator().asScala.foreach { m =>
+        Files.copy(m, Paths.get(tmp, "_ingest", m.getFileName.toString))
+      }
+    }
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    // Spark's shared FileStatusCache may hold the pre-swap listing.
+    s.catalog.refreshByPath(path)
+  }
+
+  /** Migrate a PQ-coded index ([[annPqIndexWrite]]) to a new bucket
+    * geometry WITHOUT re-encoding or retraining — the operable form of
+    * the b-per-decade doctrine for a live index. The 8-byte PQ codes are
+    * geometry-independent, so the migration reads ONE table's resident
+    * (vec_id, codes) rows (a partition-pruned 1/numTables scan), joins
+    * the float store to re-derive signatures (the codes are lossy — the
+    * index deliberately does not carry floats, so `coldVecs` is the same
+    * companion relation every probe already needs), hashes at the new
+    * geometry, and rewrites the tree; the codebook/grouping model is
+    * copied verbatim and the `_ingest` replay markers travel. A resident
+    * missing from `coldVecs` fails the migration loudly (raise_error in
+    * the join projection) — silently dropping it would un-index a
+    * serveable vector.
+    *
+    * Cost vs the rebuild it replaces (measured at two decades in
+    * BASELINE.md; probes/r12): hash + shuffle + write only — it skips
+    * codebook training and the Θ(n·M·56) beamed encode that dominate
+    * [[annPqIndexWrite]], and the sort/shuffle rows are 8-byte codes, not
+    * 512-byte vectors. Appends against the OLD geometry fail fast
+    * afterwards, exactly as the recorded-geometry discipline requires.
+    */
+  def annPqIndexRebucket(s: SparkSession, path: String, coldVecs: DataFrame,
+                         newBits: Int, newTables: Int = -1): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val (oldBits, oldTables) = indexGeometry(s, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _geometry record at $path — cannot rebucket an unrecorded index"))
+    val nt = if (newTables == -1) oldTables else newTables
+    if ((newBits, nt) == ((oldBits, oldTables))) return
+    val residents = indexResidents(s, path, "codes")
+    val rows = residents
+      .join(coldVecs.select(col("vec_id"), col("emb")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("codes"),
+        expr("CASE WHEN emb IS NOT NULL THEN emb ELSE raise_error(concat(" +
+          "'annPqIndexRebucket: resident vec_id ', CAST(vec_id AS STRING), " +
+          "' has no row in coldVecs — the float store must cover every resident')) END")
+          .as("emb"))
+    rebucketSwap(s, path, rows, payloadCols = Seq("codes"), newBits, nt,
+      extraRels = Seq("_codebook", "_groups", "_supcent"))
+    Similarity.synchronized { builtIndexPaths += path }
+  }
+
+  /** [[annPqIndexRebucket]] for the float-vector family
+    * ([[annIndexWrite]]): the bucket rows carry the vector itself, so the
+    * migration is fully self-contained — one pruned table scan, hash at
+    * the new geometry, rewrite, swap. No external relation at all.
+    */
+  def annIndexRebucket(s: SparkSession, path: String,
+                       newBits: Int, newTables: Int = -1): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val (oldBits, oldTables) = indexGeometry(s, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _geometry record at $path — cannot rebucket an unrecorded index"))
+    val nt = if (newTables == -1) oldTables else newTables
+    if ((newBits, nt) == ((oldBits, oldTables))) return
+    rebucketSwap(s, path, indexResidents(s, path, "emb"),
+      payloadCols = Seq("emb"), newBits, nt, extraRels = Seq.empty)
+    Similarity.synchronized { builtIndexPaths += path }
+  }
+
   /** Build the q163/q164 fixture index lazily once per SF dir — the
     * [[ensureQ140Index]] reuse/staleness discipline, plus the codebook
     * in the completeness check (an index with codes but no `_codebook`

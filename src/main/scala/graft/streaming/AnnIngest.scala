@@ -96,7 +96,15 @@ object AnnIngest {
     * past the deployment's floor, stop the stream, rebuild the index
     * (retraining the codebook over the current corpus), and resume with
     * a fresh checkpoint — the commit markers travel with the index path,
-    * so a rebuild naturally resets replay state too.
+    * so a rebuild naturally resets replay state too. The crossover is
+    * MEASURED, and depends on the shift class
+    * ([[graft.tools.PqDriftProbe]], probes/r12): rotation/permutation-
+    * class drift never reaches it (gap flat ≤ 0.03 through 67% shifted
+    * corpus), while mean-shift-class drift crosses a 0.05 recall@5 gap
+    * at ~60% shifted fraction — numbers in BASELINE.md. A geometry
+    * step, by contrast, needs no rebuild at all:
+    * [[graft.ops.Similarity.annPqIndexRebucket]] migrates the live
+    * index 2.8–9× cheaper than the rebuild.
     */
   def appendPqBatch(batch: DataFrame, indexPath: String, batchId: Long,
                     bitsPerTable: Int, numTables: Int, pqBits: Int): Boolean = {

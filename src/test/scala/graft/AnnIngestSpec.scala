@@ -127,6 +127,80 @@ class AnnIngestSpec extends SparkSpec {
     }
   }
 
+  test("PQ index rebucket: migrated index serves exactly like a from-scratch build at the new geometry") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val pqBits = 4
+    val newGeom = (10, 4)
+    // The index to migrate, built at the old geometry, with a committed
+    // ingest marker so replay state provably travels with the tree.
+    val migPath = java.nio.file.Files.createTempDirectory("pq_mig").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(corpus, migPath,
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(migPath, "_ingest"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(migPath, "_ingest", "batch-7"),
+      "rows=1".getBytes("UTF-8"))
+    // The from-scratch reference at the NEW geometry: same corpus, so the
+    // deterministic model train yields the identical codebook/grouping —
+    // probe equality below therefore pins the whole migrated tree.
+    val refPath = java.nio.file.Files.createTempDirectory("pq_ref").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(corpus, refPath,
+      bitsPerTable = newGeom._1, numTables = newGeom._2, pqBits = pqBits)
+    // A float store missing residents must fail the migration loudly and
+    // leave the index untouched at the old geometry.
+    intercept[Exception] {
+      graft.ops.Similarity.annPqIndexRebucket(spark, migPath,
+        corpus.filter(col("vec_id") % 7 === 0), newGeom._1, newGeom._2)
+    }
+    assert(graft.ops.Similarity.indexGeometry(spark, migPath).contains(geom),
+      "failed rebucket must not change the serving geometry")
+    // The real migration: no re-encode, no retrain, markers travel.
+    graft.ops.Similarity.annPqIndexRebucket(spark, migPath, corpus,
+      newGeom._1, newGeom._2)
+    assert(graft.ops.Similarity.indexGeometry(spark, migPath).contains(newGeom))
+    def model(p: String) =
+      spark.read.parquet(s"$p/_codebook").orderBy("m", "cell").collect().toSeq ++
+        spark.read.parquet(s"$p/_groups").orderBy("m", "cell").collect().toSeq
+    assert(model(migPath) == model(refPath),
+      "rebucket must carry the learned model verbatim")
+    val mig = graft.ops.Similarity.annPqIndexProbe(
+      spark, migPath, probeBatch(), corpus).collect().toSeq
+    val ref = graft.ops.Similarity.annPqIndexProbe(
+      spark, refPath, probeBatch(), corpus).collect().toSeq
+    assert(mig.nonEmpty && mig == ref,
+      s"migrated PQ probe diverged from from-scratch build: ${mig.take(3)} vs ${ref.take(3)}")
+    // Replay marker traveled: the committed batch id short-circuits.
+    assert(!graft.streaming.AnnIngest.appendPqBatch(
+      corpus, migPath, 7L, newGeom._1, newGeom._2, pqBits))
+    // Appends: OLD geometry fails fast, NEW geometry proceeds.
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnIngest.appendPqBatch(
+        probeBatch(), migPath, 8L, geom._1, geom._2, pqBits)
+    }
+    assert(graft.streaming.AnnIngest.appendPqBatch(
+      probeBatch(), migPath, 9L, newGeom._1, newGeom._2, pqBits))
+  }
+
+  test("float index rebucket: self-contained migration serves like a from-scratch build") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val newGeom = (10, 4)
+    val migPath = java.nio.file.Files.createTempDirectory("ann_mig").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, migPath,
+      bitsPerTable = geom._1, numTables = geom._2)
+    val refPath = java.nio.file.Files.createTempDirectory("ann_ref").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, refPath,
+      bitsPerTable = newGeom._1, numTables = newGeom._2)
+    graft.ops.Similarity.annIndexRebucket(spark, migPath, newGeom._1, newGeom._2)
+    assert(graft.ops.Similarity.indexGeometry(spark, migPath).contains(newGeom))
+    val mig = graft.ops.Similarity.annIndexProbe(spark, migPath, probeBatch())
+      .collect().toSeq
+    val ref = graft.ops.Similarity.annIndexProbe(spark, refPath, probeBatch())
+      .collect().toSeq
+    assert(mig.nonEmpty && mig == ref,
+      s"migrated float probe diverged: ${mig.take(3)} vs ${ref.take(3)}")
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)

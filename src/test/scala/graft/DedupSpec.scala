@@ -457,7 +457,8 @@ class DedupSpec extends SparkSpec {
       ("q157", ops.Dedup.q157EmbeddingNeardupWide17 _),
       ("q166", ops.Dedup.q166EmbeddingNeardupWide17Mp _),
       ("q167", ops.Dedup.q167EmbeddingNeardupRecall17 _),
-      ("q168", ops.Dedup.q168EmbeddingNeardupWide20 _))
+      ("q168", ops.Dedup.q168EmbeddingNeardupWide20 _),
+      ("q169", ops.Dedup.q169EmbeddingNeardupRecall20 _))
     postures.foreach { case (name, q) =>
       val got = q(spark, sfDir).select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(planted.subsetOf(got),
@@ -498,5 +499,21 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(recall.nonEmpty && mid.subsetOf(recall),
       s"q167 lost pairs q166 keeps: ${mid -- recall}")
+  }
+
+  test("q169 (32x20) results are a superset of q168's (16x20)") {
+    // Growing L only ADDS tables: q169's first 16 tables draw the SAME
+    // plane rows as q168's 16 (indices 0..319, below the reserved PQ
+    // block, so lshPlaneRow is the identity there) — every q168 candidate
+    // is a q169 candidate, and the exact verify is a pure filter. Tables
+    // 23+ route around the block (pool rows 512..703), so this pin also
+    // exercises the routed span at 20 bits like the q167 pin does at 17.
+    graft.functions.VectorExpressions.register(spark)
+    val bare = ops.Dedup.q168EmbeddingNeardupWide20(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val grown = ops.Dedup.q169EmbeddingNeardupRecall20(spark, sfDir)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(grown.nonEmpty && bare.subsetOf(grown),
+      s"q169 lost pairs q168 keeps: ${bare -- grown}")
   }
 }
