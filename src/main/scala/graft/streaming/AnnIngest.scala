@@ -3,7 +3,7 @@ package graft.streaming
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Continuous maintenance of the persisted ANN index — q140/q144's
@@ -135,4 +135,138 @@ object AnnIngest {
         ()
       }
       .start()
+
+  /** When a live ingest steps the bucket geometry without an operator in
+    * the loop: the three-decade doctrine (BASELINE.md's recall table —
+    * b grew 14 → 17 → 20 as the corpus grew 20k → 200k → 2M vectors, each
+    * held-b posture a MEASURED death at the next decade) says bits must
+    * track log₂(corpus), and [[graft.ops.Similarity.annPqIndexRebucket]]
+    * makes one step 2.8–9× cheaper than a rebuild — this policy decides
+    * WHEN the ingest sink takes it.
+    *
+    * The trigger is mean bucket occupancy over ONE table's 2ᵇ buckets:
+    * step when residents > residentsPerBucket · 2ᵇ. The defaults
+    * (8 residents/bucket, stepBits = 3 ≈ log₂10 — the doctrine's own
+    * per-decade step, 14 → 17 → 20) are chosen so one step lands
+    * occupancy back at 8/2³ = 1 — inside the doctrine's measured
+    * operating band (the registered postures run at 1.2–1.9
+    * residents/bucket: 20k/2¹⁴, 200k/2¹⁷, 2M/2²⁰). Replayed against
+    * the probe corpora, the default policy reproduces exactly the
+    * three registered decades: a corpus growing 20k → 200k → 2M steps
+    * at 131k (14 → 17) and 1.05M (17 → 20), never at 20k. `maxBits`
+    * bounds the dial where per-table bucket count stops paying (beyond
+    * ~n residents, buckets go empty and recall dies — the probe dial's
+    * measured failure mode at every decade).
+    */
+  final case class GeometryStepPolicy(residentsPerBucket: Long = 8L,
+                                      stepBits: Int = 3,
+                                      maxBits: Int = 24) {
+    require(residentsPerBucket > 0 && stepBits > 0 && maxBits <= 28)
+    def shouldStep(residents: Long, bits: Int): Boolean =
+      bits + stepBits <= maxBits && residents > (residentsPerBucket << bits)
+  }
+
+  /** The PQ ingest sink with the geometry dial CLOSED-LOOP: each batch
+    * appends at the index's CURRENT recorded geometry (not a pinned
+    * parameter — a migrated index keeps ingesting without a restart),
+    * and when the resident count crosses [[GeometryStepPolicy]]'s
+    * occupancy threshold the sink migrates the live index via
+    * [[graft.ops.Similarity.annPqIndexRebucket]] before the next batch.
+    * This closes the last open loop of the b-per-decade doctrine: without
+    * it, probe latency grows ~linearly with residents at fixed b (the
+    * measured 2.6 → 3.9 s drift over 3× residents, probes/r11), and the
+    * operator must notice and migrate by hand; with it, the serving curve
+    * is sawtoothed flat (measured: probes/r12, AutoStepProbe).
+    *
+    * Cost accounting: the counter seeds ONCE from a pruned one-table scan
+    * ([[graft.ops.Similarity.annIndexResidentCount]]) and then accumulates
+    * in memory, so steady-state batches stay O(batch); the step batch
+    * additionally pays the rebucket (O(residents) hash + 8-byte-code
+    * shuffle + write — no re-encode, no retrain, measured 2.8–9× under
+    * the rebuild). The serving outage is the swap's two renames, not the
+    * rewrite. On restart the counter re-seeds from the index itself, so
+    * replayed batches (marker-gated no-ops) never double-count.
+    *
+    * `coldVecs` is the float store the PQ family already requires at
+    * probe time (the index carries 8-byte codes, deliberately not
+    * 512-byte floats); it must cover every resident INCLUDING rows the
+    * stream itself appended — i.e. the stream and the store are fed from
+    * the same upstream, the store possibly a batch behind only if no
+    * step fires in the gap. A gap fails the migration loudly
+    * (raise_error), leaving the old geometry serving.
+    */
+  final class PqAutoStepIngest(indexPath: String, bootBits: Int,
+                               numTables: Int, pqBits: Int,
+                               coldVecs: SparkSession => DataFrame,
+                               policy: GeometryStepPolicy = GeometryStepPolicy()) {
+    private var resident = -1L
+
+    /** Current serving geometry — the recorded one, falling back to the
+      * bootstrap parameters before the first committed batch exists.
+      */
+    def geometry(s: SparkSession): (Int, Int) =
+      graft.ops.Similarity.indexGeometry(s, indexPath).getOrElse((bootBits, numTables))
+
+    /** Append one micro-batch at the current geometry, then step it if
+      * the policy says so. Returns (appended, bitsAfter). Exposed
+      * separately from the sink (like [[appendPqBatch]]) so the step
+      * point is directly testable and probe-able.
+      */
+    def appendBatch(batch: DataFrame, batchId: Long): (Boolean, Int) = {
+      val s = batch.sparkSession
+      val (bits, tables) = geometry(s)
+      val appended = appendPqBatch(batch, indexPath, batchId, bits, tables, pqBits)
+      if (resident < 0) resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
+      else if (appended) resident += batch.count()
+      var b = bits
+      // A single oversized batch can cross more than one threshold; each
+      // step is one full migration, so loop until occupancy is legal.
+      while (policy.shouldStep(resident, b)) {
+        b += policy.stepBits
+        graft.ops.Similarity.annPqIndexRebucket(s, indexPath, coldVecs(s), b)
+      }
+      (appended, b)
+    }
+
+    def run(embStream: DataFrame, checkpoint: String): StreamingQuery =
+      embStream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: DataFrame, id: Long) => appendBatch(df, id); () }
+        .start()
+  }
+
+  /** [[PqAutoStepIngest]] for the float-vector family: the bucket rows
+    * carry the vectors, so the migration
+    * ([[graft.ops.Similarity.annIndexRebucket]]) is self-contained — no
+    * float store, no coverage contract. Same counter discipline, same
+    * closed loop.
+    */
+  final class AnnAutoStepIngest(indexPath: String, bootBits: Int,
+                                numTables: Int,
+                                policy: GeometryStepPolicy = GeometryStepPolicy()) {
+    private var resident = -1L
+
+    def geometry(s: SparkSession): (Int, Int) =
+      graft.ops.Similarity.indexGeometry(s, indexPath).getOrElse((bootBits, numTables))
+
+    def appendBatch(batch: DataFrame, batchId: Long): (Boolean, Int) = {
+      val s = batch.sparkSession
+      val (bits, tables) = geometry(s)
+      val appended = AnnIngest.appendBatch(batch, indexPath, batchId, bits, tables)
+      if (resident < 0) resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
+      else if (appended) resident += batch.count()
+      var b = bits
+      while (policy.shouldStep(resident, b)) {
+        b += policy.stepBits
+        graft.ops.Similarity.annIndexRebucket(s, indexPath, b)
+      }
+      (appended, b)
+    }
+
+    def run(embStream: DataFrame, checkpoint: String): StreamingQuery =
+      embStream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: DataFrame, id: Long) => appendBatch(df, id); () }
+        .start()
+  }
 }

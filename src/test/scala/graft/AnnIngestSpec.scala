@@ -201,6 +201,95 @@ class AnnIngestSpec extends SparkSpec {
       s"migrated float probe diverged: ${mig.take(3)} vs ${ref.take(3)}")
   }
 
+  test("PQ auto-step ingest: the sink steps the live geometry at the occupancy threshold and keeps serving") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0) // 450 rows at sf0.001
+    val seed = corpus.filter(col("vec_id") % 3 === 0)   // ~150
+    val rest = corpus.filter(col("vec_id") % 3 =!= 0)   // ~300
+    val pqBits = 4
+    // Occupancy threshold 16·2⁴ = 256: seed (~150) sits under it, the
+    // first stream batch (~150 more) crosses it → one step 4 → 6 bits;
+    // 16·2⁶ = 1024 is never reached again, so the second batch appends
+    // at the NEW geometry with no further step.
+    val policy = graft.streaming.AnnIngest.GeometryStepPolicy(
+      residentsPerBucket = 16L, stepBits = 2, maxBits = 10)
+    def bootstrap(tag: String): String = {
+      val p = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+      graft.ops.Similarity.annPqIndexWrite(seed, p,
+        bitsPerTable = 4, numTables = geom._2, pqBits = pqBits)
+      p
+    }
+    // Reference: same codebook lineage (seed-trained), batch append of the
+    // remainder, then one manual rebucket — the migration itself is pinned
+    // against a from-scratch build in the rebucket test above.
+    val refPath = bootstrap("pq_as_ref")
+    graft.ops.Similarity.annPqIndexWrite(rest, refPath, mode = "append",
+      bitsPerTable = 4, numTables = geom._2, pqBits = pqBits)
+    graft.ops.Similarity.annPqIndexRebucket(spark, refPath, corpus, 6)
+    // The closed loop under test, driven through the streaming sink.
+    val autoPath = bootstrap("pq_as_auto")
+    val ingest = new graft.streaming.AnnIngest.PqAutoStepIngest(
+      autoPath, bootBits = 4, numTables = geom._2, pqBits = pqBits,
+      coldVecs = _ => corpus, policy = policy)
+    val ckpt = java.nio.file.Files.createTempDirectory("pq_as_ckpt").toString
+    val src = MemoryStream[(Long, Seq[Double])](spark)
+    val q = ingest.run(src.toDF().toDF("vec_id", "emb"), ckpt)
+    try {
+      val rows = rest.as[(Long, Seq[Double])].collect()
+      Seq(1L, 2L).foreach { r =>
+        src.addData(rows.filter(_._1 % 3 == r).toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(graft.ops.Similarity.indexGeometry(spark, autoPath).contains((6, geom._2)),
+      "the sink must have stepped 4 -> 6 bits when residents crossed 256")
+    val auto = graft.ops.Similarity.annPqIndexProbe(
+      spark, autoPath, probeBatch(), corpus).collect().toSeq
+    val ref = graft.ops.Similarity.annPqIndexProbe(
+      spark, refPath, probeBatch(), corpus).collect().toSeq
+    assert(auto.nonEmpty && auto == ref,
+      s"auto-stepped index diverged from append+migrate reference: ${auto.take(3)} vs ${ref.take(3)}")
+    // Replay after the step is still a marker-gated no-op, reported at the
+    // CURRENT (stepped) geometry.
+    assert(ingest.appendBatch(rest, 0L) == ((false, 6)))
+    // A fresh instance (restart) re-seeds its counter from the index and
+    // does not step spuriously: 450 residents < 16·2⁶.
+    val restarted = new graft.streaming.AnnIngest.PqAutoStepIngest(
+      autoPath, bootBits = 4, numTables = geom._2, pqBits = pqBits,
+      coldVecs = _ => corpus, policy = policy)
+    val (appended, bitsAfter) = restarted.appendBatch(
+      emb().filter(col("vec_id") % 10 === 0), 100L)
+    assert(appended && bitsAfter == 6)
+    assert(graft.ops.Similarity.indexGeometry(spark, autoPath).contains((6, geom._2)))
+  }
+
+  test("float auto-step ingest: stepped index serves exactly like a from-scratch build at the stepped geometry") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val policy = graft.streaming.AnnIngest.GeometryStepPolicy(
+      residentsPerBucket = 1L, stepBits = 2, maxBits = 12)
+    // Threshold 1·2⁸ = 256: batch 1 (~150) stays at 8 bits, batch 2
+    // (~300 total) steps to 10. The float family carries its vectors, so
+    // the from-scratch build at (10, 4) IS the exact reference.
+    val autoPath = java.nio.file.Files.createTempDirectory("ann_as").toString + "/idx"
+    val ingest = new graft.streaming.AnnIngest.AnnAutoStepIngest(
+      autoPath, bootBits = geom._1, numTables = geom._2, policy = policy)
+    val batches = Seq(corpus.filter(col("vec_id") % 3 === 0),
+      corpus.filter(col("vec_id") % 3 =!= 0))
+    assert(ingest.appendBatch(batches(0), 0L)._2 == geom._1)
+    assert(ingest.appendBatch(batches(1), 1L) == ((true, 10)))
+    assert(graft.ops.Similarity.indexGeometry(spark, autoPath).contains((10, geom._2)))
+    val refPath = java.nio.file.Files.createTempDirectory("ann_as_ref").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, refPath,
+      bitsPerTable = 10, numTables = geom._2)
+    val auto = graft.ops.Similarity.annIndexProbe(spark, autoPath, probeBatch())
+      .collect().toSeq
+    val ref = graft.ops.Similarity.annIndexProbe(spark, refPath, probeBatch())
+      .collect().toSeq
+    assert(auto.nonEmpty && auto == ref,
+      s"auto-stepped float index diverged: ${auto.take(3)} vs ${ref.take(3)}")
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)
