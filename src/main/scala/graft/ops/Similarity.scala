@@ -2339,12 +2339,22 @@ object Similarity {
     */
   def annPqIndexRebucket(s: SparkSession, path: String, coldVecs: DataFrame,
                          newBits: Int, newTables: Int = -1): Unit = {
-    graft.functions.VectorExpressions.register(s)
     val (oldBits, oldTables) = indexGeometry(s, path).getOrElse(
       throw new IllegalArgumentException(
         s"no _geometry record at $path — cannot rebucket an unrecorded index"))
     val nt = if (newTables == -1) oldTables else newTables
     if ((newBits, nt) == ((oldBits, oldTables))) return
+    pqRewriteTree(s, path, coldVecs, newBits, nt)
+  }
+
+  /** One-pass rewrite of a PQ index's bucket tree: resident scan +
+    * float-store join (raise_error on a resident the store lacks) +
+    * hash at `bits`/`tables` + atomic swap. [[annPqIndexRebucket]] calls
+    * it at a NEW geometry; [[annPqIndexCompact]] at the CURRENT one.
+    */
+  private def pqRewriteTree(s: SparkSession, path: String, coldVecs: DataFrame,
+                            bits: Int, tables: Int): Unit = {
+    graft.functions.VectorExpressions.register(s)
     val residents = indexResidents(s, path, "codes")
     val rows = residents
       .join(coldVecs.select(col("vec_id"), col("emb")), Seq("vec_id"), "left")
@@ -2353,9 +2363,47 @@ object Similarity {
           "'annPqIndexRebucket: resident vec_id ', CAST(vec_id AS STRING), " +
           "' has no row in coldVecs — the float store must cover every resident')) END")
           .as("emb"))
-    rebucketSwap(s, path, rows, payloadCols = Seq("codes"), newBits, nt,
+    rebucketSwap(s, path, rows, payloadCols = Seq("codes"), bits, tables,
       extraRels = Seq("_codebook", "_groups", "_supcent"))
-    Similarity.synchronized { builtIndexPaths += path }
+    // Deliberately NOT registered in builtIndexPaths: a rewrite must not
+    // change the index's durability class. An index CREATED by this JVM
+    // is already registered by its writer; migrating/compacting a
+    // persisted index another process built must not mark it for
+    // JVM-exit deletion.
+  }
+
+  /** Compact a PQ index WITHOUT changing its geometry: the same one-pass
+    * tree rewrite as [[annPqIndexRebucket]], at the recorded (bits,
+    * tables). What it buys, measured (probes/r12/autostep_sf10.log +
+    * compact_sf10.log): every streamed append drops ~256 small files
+    * into the partition tree, and at a post-step geometry where
+    * shortlist candidates are cheap, FILE LISTING is what's left of
+    * probe-latency growth — the auto-step run's post-migration probe
+    * (on a freshly swapped, compact tree) was its floor for exactly
+    * this reason. Compaction also reclaims the result-neutral
+    * crash-window duplicate rows (`distinct` in the resident scan) the
+    * AnnIngest scaladoc promises ordinary compaction will collect.
+    * Same atomicity as the migration: the new tree is fully written
+    * before the swap; a pre-swap failure leaves the old tree serving.
+    */
+  def annPqIndexCompact(s: SparkSession, path: String, coldVecs: DataFrame): Unit = {
+    val (bits, tables) = indexGeometry(s, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _geometry record at $path — cannot compact an unrecorded index"))
+    pqRewriteTree(s, path, coldVecs, bits, tables)
+  }
+
+  /** [[annPqIndexCompact]] for the float-vector family — self-contained
+    * like [[annIndexRebucket]] (the rows carry the vectors).
+    */
+  def annIndexCompact(s: SparkSession, path: String): Unit = {
+    graft.functions.VectorExpressions.register(s)
+    val (bits, tables) = indexGeometry(s, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no _geometry record at $path — cannot compact an unrecorded index"))
+    rebucketSwap(s, path, indexResidents(s, path, "emb"),
+      payloadCols = Seq("emb"), bits, tables, extraRels = Seq.empty)
+    // Not registered in builtIndexPaths — see pqRewriteTree.
   }
 
   /** [[annPqIndexRebucket]] for the float-vector family
@@ -2373,7 +2421,7 @@ object Similarity {
     if ((newBits, nt) == ((oldBits, oldTables))) return
     rebucketSwap(s, path, indexResidents(s, path, "emb"),
       payloadCols = Seq("emb"), newBits, nt, extraRels = Seq.empty)
-    Similarity.synchronized { builtIndexPaths += path }
+    // Not registered in builtIndexPaths — see pqRewriteTree.
   }
 
   /** Build the q163/q164 fixture index lazily once per SF dir — the

@@ -290,6 +290,44 @@ class AnnIngestSpec extends SparkSpec {
       s"auto-stepped float index diverged: ${auto.take(3)} vs ${ref.take(3)}")
   }
 
+  test("compaction rewrites the tree in place: same geometry, same probe results, duplicates reclaimed") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val pqBits = 4
+    val path = java.nio.file.Files.createTempDirectory("pq_compact").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(corpus, path,
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    val baseline = graft.ops.Similarity.annPqIndexProbe(
+      spark, path, probeBatch(), corpus).collect().toSeq
+    val rowsClean = spark.read.parquet(path).count()
+    // The crash-window worst case the AnnIngest scaladoc defers to
+    // "ordinary compaction": a raw duplicate append doubles the rows.
+    graft.ops.Similarity.annPqIndexWrite(corpus, path, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    assert(spark.read.parquet(path).count() == rowsClean * 2)
+    graft.ops.Similarity.annPqIndexCompact(spark, path, corpus)
+    // Geometry unchanged, duplicate rows reclaimed, serving identical.
+    assert(graft.ops.Similarity.indexGeometry(spark, path).contains(geom))
+    assert(spark.read.parquet(path).count() == rowsClean,
+      "compaction must reclaim the duplicated rows")
+    val compacted = graft.ops.Similarity.annPqIndexProbe(
+      spark, path, probeBatch(), corpus).collect().toSeq
+    assert(compacted == baseline, "compaction changed probe results")
+    // Float family: same contract, self-contained.
+    val fPath = java.nio.file.Files.createTempDirectory("ann_compact").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, fPath,
+      bitsPerTable = geom._1, numTables = geom._2)
+    val fBase = graft.ops.Similarity.annIndexProbe(spark, fPath, probeBatch())
+      .collect().toSeq
+    graft.ops.Similarity.annIndexWrite(corpus, fPath, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2)
+    graft.ops.Similarity.annIndexCompact(spark, fPath)
+    assert(graft.ops.Similarity.indexGeometry(spark, fPath).contains(geom))
+    val fComp = graft.ops.Similarity.annIndexProbe(spark, fPath, probeBatch())
+      .collect().toSeq
+    assert(fComp == fBase, "float compaction changed probe results")
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)
