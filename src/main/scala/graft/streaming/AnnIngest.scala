@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     marker) can duplicate one batch's rows; that is RESULT-NEUTRAL by
   *     construction — [[graft.ops.Similarity.annIndexProbe]] dedups
   *     candidate pairs before ranking (AnnIngestSpec pins this too) — and
-  *     the duplicate bytes are reclaimed by ordinary compaction. This is
+  *     the duplicate bytes are reclaimed by ordinary compaction
+  *     ([[graft.ops.Similarity.annIndexCompact]] /
+  *     [[graft.ops.Similarity.annPqIndexCompact]] — one atomic tree
+  *     rewrite whose resident scan `distinct`s them away, measured in
+  *     probes/r12/compact_sf10.log). This is
   *     the deliberate trade for an index: exact once-per-batch OUTPUT (the
   *     [[IdempotentSink]] per-batch-directory recipe) would force a
   *     batch-id partition layer into the index layout and break
