@@ -328,6 +328,29 @@ class AnnIngestSpec extends SparkSpec {
     assert(fComp == fBase, "float compaction changed probe results")
   }
 
+  test("GeometryStepPolicy: the default policy reproduces the doctrine ladder and respects maxBits") {
+    val p = graft.streaming.AnnIngest.GeometryStepPolicy()
+    // The registered decades never step at their own operating points...
+    assert(!p.shouldStep(20000L, 14) && !p.shouldStep(200000L, 17) &&
+      !p.shouldStep(2000000L, 20))
+    // ...and the steps land exactly at 8·2^b + 1: 131,073 at 14 bits
+    // (14 -> 17) and 1,048,577 at 17 bits (17 -> 20), the two transitions
+    // AutoStepProbe measured live (probes/r12/autostep_sf10/sf100.log).
+    assert(!p.shouldStep(131072L, 14) && p.shouldStep(131073L, 14))
+    assert(!p.shouldStep(1048576L, 17) && p.shouldStep(1048577L, 17))
+    // maxBits is a hard ceiling: at 24 bits (default max) no resident
+    // count triggers a step that would overshoot it.
+    assert(!p.shouldStep(Long.MaxValue / 2, 22))
+    assert(!p.shouldStep(Long.MaxValue / 2, 24))
+    // Degenerate policies are rejected at construction.
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnIngest.GeometryStepPolicy(residentsPerBucket = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.AnnIngest.GeometryStepPolicy(maxBits = 29)
+    }
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)
