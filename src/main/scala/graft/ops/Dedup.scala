@@ -1091,6 +1091,32 @@ object Dedup {
   val q158Sql: String =
     consensusSql(neardupOracleSql(17, multiProbe = false, numTables = 16))
 
+  /** q170 — the consensus ensemble recomposed on the sf100-decade
+    * embedding leg (VERDICT r12 item 4, the compose-the-at-scale-postures
+    * rule applied a THIRD time): identical MinHash and SimHash legs —
+    * corpus-size-indifferent, banded/pigeonholed — with the semantic leg
+    * stepped from q158's 16×17 to q168's held-L 16×20, the registered
+    * cost-first posture of the 2M-vector decade (b ≈ log₂ n; the 17-bit
+    * leg's candidate volume at 2M vectors is the previous decade's knee
+    * arithmetic made visible, exactly as 14 bits was at 200k). The b
+    * step cuts the embedding leg's same-bucket candidates 8× at
+    * identical L; vote semantics are unchanged, so only pairs whose
+    * embedding vote was decisive can differ from q158 — the same
+    * relationship q158 bears to q153 one decade down. Verified at the
+    * small SFs like every ensemble member (non-vacuity from the lexical
+    * legs, which carry rows at every SF); its scale grade is the
+    * replica-corpus probe leg beside q158's (BASELINE.md).
+    */
+  def q170ConsensusDedupWide20(s: SparkSession, dir: String): DataFrame =
+    consensusNearDups(
+      t(s, dir, "documents"),
+      t(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")),
+      embBits = 20, embTables = 16)
+
+  val q170Sql: String =
+    consensusSql(neardupOracleSql(20, multiProbe = false, numTables = 16))
+
   private def consensusSql(embLegSql: String): String =
     s"""WITH m AS (SELECT id1, id2 FROM ($q51Pairs)),
        s AS (SELECT id1, id2 FROM ($q53Pairs)),
@@ -1135,7 +1161,8 @@ object Dedup {
     "q166_embedding_neardup_wide17_mp" -> (q166EmbeddingNeardupWide17Mp _),
     "q167_embedding_neardup_recall17" -> (q167EmbeddingNeardupRecall17 _),
     "q168_embedding_neardup_wide20" -> (q168EmbeddingNeardupWide20 _),
-    "q169_embedding_neardup_recall20" -> (q169EmbeddingNeardupRecall20 _))
+    "q169_embedding_neardup_recall20" -> (q169EmbeddingNeardupRecall20 _),
+    "q170_consensus_dedup_wide20" -> (q170ConsensusDedupWide20 _))
 
   val oracle: Map[String, String] = Map(
     "q50_dedup_exact" -> q50Sql,
@@ -1164,5 +1191,6 @@ object Dedup {
     "q166_embedding_neardup_wide17_mp" -> q166Sql,
     "q167_embedding_neardup_recall17" -> q167Sql,
     "q168_embedding_neardup_wide20" -> q168Sql,
-    "q169_embedding_neardup_recall20" -> q169Sql)
+    "q169_embedding_neardup_recall20" -> q169Sql,
+    "q170_consensus_dedup_wide20" -> q170Sql)
 }

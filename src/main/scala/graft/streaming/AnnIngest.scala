@@ -57,6 +57,11 @@ object AnnIngest {
     */
   def appendBatch(batch: DataFrame, indexPath: String, batchId: Long,
                   bitsPerTable: Int, numTables: Int): Boolean = {
+    // A crashed geometry-swap publish leaves the index (and its replay
+    // markers) at `indexPath.__old`; restore it BEFORE the marker check,
+    // or a restarted stream would silently bootstrap a fresh empty index
+    // and replay every batch into it (VERDICT r12 item 1).
+    graft.ops.Similarity.recoverInterruptedSwap(indexPath)
     val marker = Paths.get(indexPath, "_ingest", s"batch-$batchId")
     if (Files.exists(marker)) false
     else {
@@ -112,6 +117,7 @@ object AnnIngest {
     */
   def appendPqBatch(batch: DataFrame, indexPath: String, batchId: Long,
                     bitsPerTable: Int, numTables: Int, pqBits: Int): Boolean = {
+    graft.ops.Similarity.recoverInterruptedSwap(indexPath) // see appendBatch
     val marker = Paths.get(indexPath, "_ingest", s"batch-$batchId")
     if (Files.exists(marker)) false
     else {
@@ -160,7 +166,13 @@ object AnnIngest {
     * at 131k (14 → 17) and 1.05M (17 → 20), never at 20k. `maxBits`
     * bounds the dial where per-table bucket count stops paying (beyond
     * ~n residents, buckets go empty and recall dies — the probe dial's
-    * measured failure mode at every decade).
+    * measured failure mode at every decade). The doctrine does not
+    * silently end at the ceiling: past ~10⁸ residents/index the next
+    * dial is IVF routing in front (shard by coarse centroids, one
+    * banded-b index per shard, probe nProbe shards) — BASELINE.md's
+    * "beyond sf1000" doctrine row records the arithmetic for why L
+    * cannot be that dial (its cost is index-size-linear) and routing
+    * can (horizontal, candidates stay ∝ nProbe·n_shard/2ᵇ).
     */
   final case class GeometryStepPolicy(residentsPerBucket: Long = 8L,
                                       stepBits: Int = 3,
@@ -168,6 +180,32 @@ object AnnIngest {
     require(residentsPerBucket > 0 && stepBits > 0 && maxBits <= 28)
     def shouldStep(residents: Long, bits: Int): Boolean =
       bits + stepBits <= maxBits && residents > (residentsPerBucket << bits)
+  }
+
+  /** WHEN the ingest sink compacts — the [[GeometryStepPolicy]] shape for
+    * the OTHER growth term of serving latency (VERDICT r12 item 2). The
+    * auto-step run isolated it: after the geometry step bounds shortlist
+    * candidates, probe latency STILL drifted 1.79 → 3.86 s over 8 batches
+    * because every append drops ~tables·2^grpBits small files into the
+    * partition tree and FILE LISTING grows per append
+    * (probes/r12/autostep_sf10.log); compaction collects it for one
+    * measured-cheap rewrite (8.9 s for 4,357 → 261 files, same log
+    * series). With this trigger in the sink, the ENTIRE serving curve is
+    * bounded by construction: candidates by the geometry dial, listing by
+    * compaction cadence — no operator in either loop.
+    *
+    * The trigger is appends-since-last-rewrite: every committed append
+    * adds the same bounded file count, so "appends since the tree was
+    * last rewritten" IS the listing-term budget, and both rewrite flavors
+    * (a geometry step, a compaction) reset it. The counter is in-memory
+    * and re-seeds to 0 on restart — worst case one compaction interval of
+    * extra drift after a restart, never unbounded growth. The default (8)
+    * caps the drift at roughly the measured 2× band from the r12 run.
+    */
+  final case class CompactionPolicy(appendsPerCompact: Int = 8) {
+    require(appendsPerCompact > 0)
+    def shouldCompact(appendsSinceRewrite: Int): Boolean =
+      appendsSinceRewrite >= appendsPerCompact
   }
 
   /** The PQ ingest sink with the geometry dial CLOSED-LOOP: each batch
@@ -202,34 +240,71 @@ object AnnIngest {
   final class PqAutoStepIngest(indexPath: String, bootBits: Int,
                                numTables: Int, pqBits: Int,
                                coldVecs: SparkSession => DataFrame,
-                               policy: GeometryStepPolicy = GeometryStepPolicy()) {
+                               policy: GeometryStepPolicy = GeometryStepPolicy(),
+                               compaction: CompactionPolicy = CompactionPolicy(),
+                               drift: Option[PqDriftMonitor] = None) {
     private var resident = -1L
+    private var appendsSinceRewrite = 0
 
     /** Current serving geometry — the recorded one, falling back to the
-      * bootstrap parameters before the first committed batch exists.
+      * bootstrap parameters before the first committed batch exists. A
+      * crashed swap publish is recovered first, so a restart never
+      * mistakes a mid-swap index for a missing one and re-bootstraps
+      * (ADVICE r12 — the silent-index-reset path).
       */
-    def geometry(s: SparkSession): (Int, Int) =
+    def geometry(s: SparkSession): (Int, Int) = {
+      graft.ops.Similarity.recoverInterruptedSwap(indexPath)
       graft.ops.Similarity.indexGeometry(s, indexPath).getOrElse((bootBits, numTables))
+    }
 
-    /** Append one micro-batch at the current geometry, then step it if
-      * the policy says so. Returns (appended, bitsAfter). Exposed
-      * separately from the sink (like [[appendPqBatch]]) so the step
-      * point is directly testable and probe-able.
+    /** Append one micro-batch at the current geometry, then run the two
+      * maintenance loops: step the geometry if occupancy crossed the
+      * policy threshold, else compact if the listing budget is spent.
+      * Returns (appended, bitsAfter). Exposed separately from the sink
+      * (like [[appendPqBatch]]) so both trigger points are directly
+      * testable and probe-able.
       */
     def appendBatch(batch: DataFrame, batchId: Long): (Boolean, Int) = {
       val s = batch.sparkSession
       val (bits, tables) = geometry(s)
       val appended = appendPqBatch(batch, indexPath, batchId, bits, tables, pqBits)
       if (resident < 0) resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
-      else if (appended) resident += batch.count()
+      // Count distinct vec_ids so intra-batch duplicates don't inflate
+      // the occupancy trigger (ADVICE r12). Cross-batch re-delivery of an
+      // already-resident id still over-counts — deliberately tolerated:
+      // the bias is conservative (early step = lower occupancy), bounded
+      // by one rewrite interval (every rewrite below re-seeds the counter
+      // from the index, whose resident scan distincts), and counting it
+      // exactly would cost an anti-join against the resident id set per
+      // batch — O(index) work in an O(batch) path.
+      else if (appended) resident += batch.select("vec_id").distinct().count()
+      if (appended) {
+        appendsSinceRewrite += 1
+        drift.foreach(_.observe(batch, batchId))
+      }
+      // Advance to the FINAL legal geometry first, then migrate ONCE: an
+      // oversized batch crossing k occupancy thresholds pays one rewrite
+      // at the target geometry, not k successive rewrites (ADVICE r12).
       var b = bits
-      // A single oversized batch can cross more than one threshold; each
-      // step is one full migration, so loop until occupancy is legal.
-      while (policy.shouldStep(resident, b)) {
-        b += policy.stepBits
+      while (policy.shouldStep(resident, b)) b += policy.stepBits
+      if (b != bits) {
         graft.ops.Similarity.annPqIndexRebucket(s, indexPath, coldVecs(s), b)
+        afterRewrite(s)
+      } else if (appended && compaction.shouldCompact(appendsSinceRewrite)) {
+        graft.ops.Similarity.annPqIndexCompact(s, indexPath, coldVecs(s))
+        afterRewrite(s)
       }
       (appended, b)
+    }
+
+    /** Both rewrite flavors leave a freshly-listed tree with crash-window
+      * duplicates distinct'd away — re-seed the occupancy counter from it
+      * (one pruned scan, paid only at rewrite cadence) and reset the
+      * listing budget.
+      */
+    private def afterRewrite(s: SparkSession): Unit = {
+      resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
+      appendsSinceRewrite = 0
     }
 
     def run(embStream: DataFrame, checkpoint: String): StreamingQuery =
@@ -247,24 +322,38 @@ object AnnIngest {
     */
   final class AnnAutoStepIngest(indexPath: String, bootBits: Int,
                                 numTables: Int,
-                                policy: GeometryStepPolicy = GeometryStepPolicy()) {
+                                policy: GeometryStepPolicy = GeometryStepPolicy(),
+                                compaction: CompactionPolicy = CompactionPolicy()) {
     private var resident = -1L
+    private var appendsSinceRewrite = 0
 
-    def geometry(s: SparkSession): (Int, Int) =
+    def geometry(s: SparkSession): (Int, Int) = {
+      graft.ops.Similarity.recoverInterruptedSwap(indexPath)
       graft.ops.Similarity.indexGeometry(s, indexPath).getOrElse((bootBits, numTables))
+    }
 
     def appendBatch(batch: DataFrame, batchId: Long): (Boolean, Int) = {
       val s = batch.sparkSession
       val (bits, tables) = geometry(s)
       val appended = AnnIngest.appendBatch(batch, indexPath, batchId, bits, tables)
       if (resident < 0) resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
-      else if (appended) resident += batch.count()
+      else if (appended) resident += batch.select("vec_id").distinct().count()
+      if (appended) appendsSinceRewrite += 1
       var b = bits
-      while (policy.shouldStep(resident, b)) {
-        b += policy.stepBits
+      while (policy.shouldStep(resident, b)) b += policy.stepBits
+      if (b != bits) {
         graft.ops.Similarity.annIndexRebucket(s, indexPath, b)
+        afterRewrite(s)
+      } else if (appended && compaction.shouldCompact(appendsSinceRewrite)) {
+        graft.ops.Similarity.annIndexCompact(s, indexPath)
+        afterRewrite(s)
       }
       (appended, b)
+    }
+
+    private def afterRewrite(s: SparkSession): Unit = {
+      resident = graft.ops.Similarity.annIndexResidentCount(s, indexPath)
+      appendsSinceRewrite = 0
     }
 
     def run(embStream: DataFrame, checkpoint: String): StreamingQuery =

@@ -31,9 +31,21 @@ import org.apache.spark.sql.functions._
   * peak, or if append walls (excluding the step batch) trend up with
   * residents — the O(batch) claim must survive the closed loop.
   *
+  * Round 13 closes the OTHER loop in the same run (VERDICT r12 item 2):
+  * the r12 run isolated the residual drift term — probe 1.79 → 3.86 s
+  * over the 8 post-step batches as ~256 files/append accumulate — and
+  * compaction is now a [[graft.streaming.AnnIngest.CompactionPolicy]]
+  * trigger INSIDE the sink, not an operator runbook. The probe therefore
+  * reports `data_files` per batch and per probe, flags compaction
+  * batches, and probes right after them: the expected curve is a DOUBLE
+  * sawtooth (latency drops at the geometry step AND at each compaction),
+  * bounded over arbitrarily many batches with zero manual intervention.
+  * FALSIFIED additionally if probe latency at matching file-count phases
+  * trends up across compaction cycles.
+  *
   * Usage: tools/run_local.sh graft.tools.AutoStepProbe \
   *          <corpusDir> <workDir> [nBatches=16] [probeEvery=2] \
-  *          [residentsPerBucket=24]
+  *          [residentsPerBucket=24] [appendsPerCompact=8; 0 disables]
   */
 object AutoStepProbe {
   def main(args: Array[String]): Unit = {
@@ -48,6 +60,7 @@ object AutoStepProbe {
     // threshold. The step lands 14 → 17 bits, exactly the doctrine's
     // registered sf10-decade geometry (q157's 16×17).
     val rpb = args.lift(4).map(_.toLong).getOrElse(8L)
+    val compactEvery = args.lift(5).map(_.toInt).filter(_ > 0).getOrElse(8)
     val (bits, tables, pqBits) = (14, 16, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -67,9 +80,7 @@ object AutoStepProbe {
     val nQueries = queries.count()
     val indexPath = s"$workDir/idx"
     val idxRoot = java.nio.file.Paths.get(indexPath)
-    if (java.nio.file.Files.exists(idxRoot))
-      java.nio.file.Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    graft.ops.Similarity.deleteTree(indexPath)
 
     def secs[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
@@ -83,19 +94,31 @@ object AutoStepProbe {
       residentsPerBucket = rpb, stepBits = 3, maxBits = 24)
     val ingest = new graft.streaming.AnnIngest.PqAutoStepIngest(
       indexPath, bootBits = bits, numTables = tables, pqBits = pqBits,
-      coldVecs = _ => emb, policy = policy)
+      coldVecs = _ => emb, policy = policy,
+      compaction = graft.streaming.AnnIngest.CompactionPolicy(compactEvery))
     println(s"""{"corpus":"$corpusDir","total_rows":$total,"bootstrap_rows":$resident,""" +
       s""""bootstrap_sec":${f"$bootSec%.1f"},"geometry":"${tables}x$bits/pq$pqBits",""" +
       s""""n_batches":$nBatches,"probe_queries":$nQueries,""" +
       s""""policy":{"residents_per_bucket":$rpb,"step_bits":3,""" +
-      s""""step_at_rows":${rpb << bits}}}""")
+      s""""step_at_rows":${rpb << bits},"appends_per_compact":$compactEvery}}""")
 
+    // Data-file count of the index tree — the listing term the
+    // auto-compaction loop (round 13) exists to bound; reported per probe
+    // so the file-count sawtooth is on the record next to the latency one.
+    def dataFiles(): Long = {
+      val walk = java.nio.file.Files.walk(idxRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+      } finally walk.close()
+    }
     def probeLine(afterBatch: Int, curBits: Int): Unit = {
       val (n, sec) = secs {
         graft.ops.Similarity.annPqIndexProbe(spark, indexPath, queries, emb).count()
       }
       println(s"""{"probe_after_batch":$afterBatch,"index_rows":$resident,""" +
-        s""""bits":$curBits,"probe_rows":$n,"probe_sec":${f"$sec%.2f"}}""")
+        s""""bits":$curBits,"data_files":${dataFiles()},"probe_rows":$n,""" +
+        s""""probe_sec":${f"$sec%.2f"}}""")
     }
     probeLine(0, bits)
     (0 until nBatches).foreach { i =>
@@ -103,15 +126,21 @@ object AutoStepProbe {
         pmod(col("vec_id"), lit(3 * nBatches)).isin(
           (0 until 3 * nBatches).filter(m => m % 3 != 0).slice(2 * i, 2 * i + 2): _*))
       val rows = batch.count()
+      val filesBefore = dataFiles()
       val bitsBefore = ingest.geometry(spark)._1
       val ((_, bitsAfter), sec) = secs { ingest.appendBatch(batch, batchId = i + 1) }
-      // The step batch's wall is append + migration; report the split so
-      // the O(batch) trend over the NON-step batches is machine-checkable.
+      // A rewrite batch's wall is append + migration/compaction; flag both
+      // rewrite flavors so the O(batch) trend over the PLAIN batches is
+      // machine-checkable (compaction shows as a file-count DROP without a
+      // bits change).
       val stepped = bitsAfter != bitsBefore
+      val filesAfter = dataFiles()
+      val compacted = !stepped && filesAfter < filesBefore
       println(s"""{"batch":${i + 1},"batch_rows":$rows,"index_rows_before":$resident,""" +
-        s""""bits":$bitsAfter,"append_sec":${f"$sec%.2f"},"stepped":$stepped}""")
+        s""""bits":$bitsAfter,"data_files":$filesAfter,"append_sec":${f"$sec%.2f"},""" +
+        s""""stepped":$stepped,"compacted":$compacted}""")
       resident += rows
-      if ((i + 1) % probeEvery == 0 || stepped) probeLine(i + 1, bitsAfter)
+      if ((i + 1) % probeEvery == 0 || stepped || compacted) probeLine(i + 1, bitsAfter)
       spark.catalog.clearCache()
       queries.cache(); queries.count()
     }

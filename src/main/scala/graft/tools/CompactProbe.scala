@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   * fresh-tree floor or if the probe row count changes (the spec pins
   * row-identical results at fixture scale).
   *
+  * The `float` family runs the same harness over [[graft.ops.Similarity
+  * .annIndexCompact]] (VERDICT r12 item 5 — the float twin carries
+  * numbers too): bootstrap with `annIndexWrite`, append through
+  * `AnnIngest.appendBatch`, compact, re-probe.
+  *
   * Usage: tools/run_local.sh graft.tools.CompactProbe \
-  *          <corpusDir> <workDir> [nBatches=16]
+  *          <corpusDir> <workDir> [nBatches=16] [family=pq|float]
   */
 object CompactProbe {
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val workDir = args(1)
     val nBatches = args.lift(2).map(_.toInt).getOrElse(16)
+    val family = args.lift(3).getOrElse("pq")
     val (bits, tables, pqBits) = (17, 16, 8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -48,48 +54,58 @@ object CompactProbe {
     val queries = emb.filter(col("vec_id") % 3 === 0 && col("vec_id") % 1201 === 0)
       .limit(50).cache()
     val nQueries = queries.count()
-    val indexPath = s"$workDir/idx"
+    val indexPath = s"$workDir/idx_$family"
     val idxRoot = java.nio.file.Paths.get(indexPath)
-    if (java.nio.file.Files.exists(idxRoot))
-      java.nio.file.Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    graft.ops.Similarity.deleteTree(indexPath)
 
+    val isPq = family == "pq"
     def secs[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
     val (_, bootSec) = secs {
-      graft.ops.Similarity.annPqIndexWrite(seed, indexPath,
+      if (isPq) graft.ops.Similarity.annPqIndexWrite(seed, indexPath,
         bitsPerTable = bits, numTables = tables, pqBits = pqBits)
+      else graft.ops.Similarity.annIndexWrite(seed, indexPath,
+        bitsPerTable = bits, numTables = tables)
     }
-    println(s"""{"corpus":"$corpusDir","geometry":"${tables}x$bits/pq$pqBits",""" +
+    println(s"""{"corpus":"$corpusDir","family":"$family",""" +
+      s""""geometry":"${tables}x$bits${if (isPq) s"/pq$pqBits" else ""}",""" +
       s""""bootstrap_rows":${seed.count()},"bootstrap_sec":${f"$bootSec%.1f"},""" +
       s""""n_batches":$nBatches,"probe_queries":$nQueries}""")
     (0 until nBatches).foreach { i =>
       val batch = emb.filter(col("vec_id") % 3 =!= 0 &&
         pmod(col("vec_id"), lit(3 * nBatches)).isin(
           (0 until 3 * nBatches).filter(m => m % 3 != 0).slice(2 * i, 2 * i + 2): _*))
-      graft.streaming.AnnIngest.appendPqBatch(batch, indexPath, batchId = i + 1,
-        bitsPerTable = bits, numTables = tables, pqBits = pqBits)
+      if (isPq) graft.streaming.AnnIngest.appendPqBatch(batch, indexPath,
+        batchId = i + 1, bitsPerTable = bits, numTables = tables, pqBits = pqBits)
+      else graft.streaming.AnnIngest.appendBatch(batch, indexPath,
+        batchId = i + 1, bitsPerTable = bits, numTables = tables)
     }
 
     def dataFiles(): Long = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(idxRoot)
-        .iterator().asScala.count(p => p.getFileName.toString.endsWith(".parquet"))
+      val walk = java.nio.file.Files.walk(idxRoot)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(p => p.getFileName.toString.endsWith(".parquet"))
+      } finally walk.close()
     }
     def state(tag: String): Long = {
       spark.catalog.refreshByPath(indexPath)
       val files = dataFiles()
       val rows = spark.read.parquet(indexPath).count()
       val (n, sec) = secs {
-        graft.ops.Similarity.annPqIndexProbe(spark, indexPath, queries, emb).count()
+        (if (isPq) graft.ops.Similarity.annPqIndexProbe(spark, indexPath, queries, emb)
+         else graft.ops.Similarity.annIndexProbe(spark, indexPath, queries)).count()
       }
       println(s"""{"phase":"$tag","data_files":$files,"index_rows":$rows,""" +
         s""""probe_rows":$n,"probe_sec":${f"$sec%.2f"}}""")
       n
     }
     val before = state("pre_compact")
-    val (_, cSec) = secs { graft.ops.Similarity.annPqIndexCompact(spark, indexPath, emb) }
+    val (_, cSec) = secs {
+      if (isPq) graft.ops.Similarity.annPqIndexCompact(spark, indexPath, emb)
+      else graft.ops.Similarity.annIndexCompact(spark, indexPath)
+    }
     println(s"""{"phase":"compact","sec":${f"$cSec%.1f"}}""")
     val after = state("post_compact")
     println(s"""{"phase":"summary","probe_rows_equal":${before == after}}""")

@@ -63,10 +63,7 @@ object PqIngestProbe {
     // Reset ONLY the probe's own subtree (workDir/idx) — never the whole
     // workDir: a mistyped argument (the corpus dir, the repo root) must
     // not be silently destroyed (ADVICE r11).
-    val idxRoot = java.nio.file.Paths.get(indexPath)
-    if (java.nio.file.Files.exists(idxRoot))
-      java.nio.file.Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.delete(p))
+    graft.ops.Similarity.deleteTree(indexPath)
 
     def secs[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)

@@ -351,6 +351,113 @@ class AnnIngestSpec extends SparkSpec {
     }
   }
 
+  test("a retried migration after a crashed swap publish recovers the index instead of destroying it") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val pqBits = 4
+    val newGeom = (10, 4)
+    val path = java.nio.file.Files.createTempDirectory("pq_crash").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(corpus, path,
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path, "_ingest"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "_ingest", "batch-3"),
+      "rows=1".getBytes("UTF-8"))
+    // Simulate the crash window of rebucketSwap's two-rename publish:
+    // after `path -> path.__old`, before `tmp -> path` — the index exists
+    // ONLY at path.__old (with a stale partial tmp tree beside it, as a
+    // real crash mid-publish would leave).
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(s"$path.__old"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$path.__rebucket"))
+    // The RETRY — before the r13 fix this deleted path.__old (the only
+    // copy) and then failed on the missing _geometry; it must instead
+    // restore the crash-window copy and complete the migration.
+    graft.ops.Similarity.annPqIndexRebucket(spark, path, corpus,
+      newGeom._1, newGeom._2)
+    assert(graft.ops.Similarity.indexGeometry(spark, path).contains(newGeom))
+    val refPath = java.nio.file.Files.createTempDirectory("pq_crash_ref").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(corpus, refPath,
+      bitsPerTable = newGeom._1, numTables = newGeom._2, pqBits = pqBits)
+    val rec = graft.ops.Similarity.annPqIndexProbe(
+      spark, path, probeBatch(), corpus).collect().toSeq
+    val ref = graft.ops.Similarity.annPqIndexProbe(
+      spark, refPath, probeBatch(), corpus).collect().toSeq
+    assert(rec.nonEmpty && rec == ref,
+      s"recovered+migrated index diverged: ${rec.take(3)} vs ${ref.take(3)}")
+    // The replay marker survived the crash AND the recovery.
+    assert(!graft.streaming.AnnIngest.appendPqBatch(
+      corpus, path, 3L, newGeom._1, newGeom._2, pqBits))
+    // The silent-reset path (ADVICE r12): a restarted auto-step ingest
+    // must see the RECORDED geometry through the crash window, not fall
+    // back to bootBits and re-bootstrap a fresh index over the residents.
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(s"$path.__old"))
+    val restarted = new graft.streaming.AnnIngest.PqAutoStepIngest(
+      path, bootBits = geom._1, numTables = geom._2, pqBits = pqBits,
+      coldVecs = _ => corpus)
+    assert(restarted.geometry(spark) == newGeom,
+      "restart across the crash window must recover the recorded geometry")
+    assert(spark.read.parquet(path).select("vec_id").distinct().count() ==
+      corpus.count(), "recovery must preserve every resident")
+    // Float family, compaction entry point: same recovery contract.
+    val fPath = java.nio.file.Files.createTempDirectory("ann_crash").toString + "/idx"
+    graft.ops.Similarity.annIndexWrite(corpus, fPath,
+      bitsPerTable = geom._1, numTables = geom._2)
+    val fBase = graft.ops.Similarity.annIndexProbe(spark, fPath, probeBatch())
+      .collect().toSeq
+    java.nio.file.Files.move(java.nio.file.Paths.get(fPath),
+      java.nio.file.Paths.get(s"$fPath.__old"))
+    graft.ops.Similarity.annIndexCompact(spark, fPath)
+    assert(graft.ops.Similarity.annIndexProbe(spark, fPath, probeBatch())
+      .collect().toSeq == fBase, "float recovery+compaction changed probe results")
+  }
+
+  test("auto-compaction: the sink compacts at the listing budget and serving is unchanged") {
+    graft.functions.VectorExpressions.register(spark)
+    val corpus = emb().filter(col("vec_id") % 10 =!= 0)
+    val seed = corpus.filter(col("vec_id") % 3 === 0)
+    val rest = corpus.filter(col("vec_id") % 3 =!= 0)
+    val b1 = rest.filter(col("vec_id") % 3 === 1)
+    val b2 = rest.filter(col("vec_id") % 3 === 2)
+    val pqBits = 4
+    val path = java.nio.file.Files.createTempDirectory("pq_autocompact").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(seed, path,
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    // Crash-window duplicates for the compaction to reclaim.
+    graft.ops.Similarity.annPqIndexWrite(seed, path, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    val seedRows = seed.count() * geom._2
+    // Geometry can never step (bootBits + stepBits > maxBits), so the
+    // compaction trigger is isolated; budget = 2 appends.
+    val ingest = new graft.streaming.AnnIngest.PqAutoStepIngest(
+      path, bootBits = geom._1, numTables = geom._2, pqBits = pqBits,
+      coldVecs = _ => corpus,
+      policy = graft.streaming.AnnIngest.GeometryStepPolicy(stepBits = 1, maxBits = geom._1),
+      compaction = graft.streaming.AnnIngest.CompactionPolicy(appendsPerCompact = 2))
+    assert(ingest.appendBatch(b1, 1L) == ((true, geom._1)))
+    // One append spent of the budget: duplicates still present.
+    assert(spark.read.parquet(path).count() == seedRows * 2 + b1.count() * geom._2,
+      "no compaction before the budget is spent")
+    assert(ingest.appendBatch(b2, 2L) == ((true, geom._1)))
+    // Budget spent -> the sink compacted: duplicates reclaimed in place.
+    assert(spark.read.parquet(path).count() == corpus.count() * geom._2,
+      "the triggered compaction must reclaim the duplicate rows")
+    assert(graft.ops.Similarity.indexGeometry(spark, path).contains(geom))
+    // Serving identical to a clean batch-built lineage (same seed-trained
+    // codebook, batch-appended remainder).
+    val refPath = java.nio.file.Files.createTempDirectory("pq_autocompact_ref").toString + "/idx"
+    graft.ops.Similarity.annPqIndexWrite(seed, refPath,
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    graft.ops.Similarity.annPqIndexWrite(rest, refPath, mode = "append",
+      bitsPerTable = geom._1, numTables = geom._2, pqBits = pqBits)
+    val auto = graft.ops.Similarity.annPqIndexProbe(
+      spark, path, probeBatch(), corpus).collect().toSeq
+    val ref = graft.ops.Similarity.annPqIndexProbe(
+      spark, refPath, probeBatch(), corpus).collect().toSeq
+    assert(auto.nonEmpty && auto == ref,
+      s"auto-compacted index diverged: ${auto.take(3)} vs ${ref.take(3)}")
+  }
+
   test("a geometry-mismatched stream append fails fast instead of silently missing buckets") {
     graft.functions.VectorExpressions.register(spark)
     val corpus = emb().filter(col("vec_id") % 10 =!= 0)

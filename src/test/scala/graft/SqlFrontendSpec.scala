@@ -69,7 +69,8 @@ class SqlFrontendSpec extends SparkSpec {
     "q162_decontaminate_bloom", "q163_ann_pq_index_build",
     "q164_ann_pq_index_probe", "q165_ann_pq8_lloyd",
     "q166_embedding_neardup_wide17_mp", "q167_embedding_neardup_recall17",
-    "q168_embedding_neardup_wide20", "q169_embedding_neardup_recall20")
+    "q168_embedding_neardup_wide20", "q169_embedding_neardup_recall20",
+    "q170_consensus_dedup_wide20")
 
   private val portable: Seq[String] =
     (SparkEntry.oracleSql.keySet -- duckOnly).toSeq.sorted
