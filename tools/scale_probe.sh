@@ -17,7 +17,7 @@ mkdir -p "$OUT"
 # index build — VERDICT r7 items 2 and 7). SPARK_GRAFT_PRIOR=none: the
 # probe subset must not trigger self-adjudication against a full-suite
 # prior line.
-QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145,q148,q149,q150,q151,q152,q153,q154,q155,q156,q157,q158,q159,q160,q161,q162,q163,q164,q165,q166,q167,q168,q169"
+QUERIES="q52,q101,q102,q111,q121,q128b,q130b,q131,q137,q138,q132,q133,q136,q140,q141,q142,q143,q144,q145,q148,q149,q150,q151,q152,q153,q154,q155,q156,q157,q158,q159,q160,q161,q162,q163,q164,q165,q166,q167,q168,q169,q170"
 # sf10 exclusions — every 8-bit-geometry formulation, after the round-8
 # leg MEASURED the knee as a hard failure, not a slowdown: q101's
 # candidate sort at sf10 spilled past the machine's ~80 GB of free disk
