@@ -1020,7 +1020,12 @@ object Curation {
     */
   def q120DupGraphRank(s: SparkSession, dir: String,
                        handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"))
+    // Pinned (r13): the rank loop left-joins the vertex set every
+    // iteration and the final projection reads it twice more — un-pinned,
+    // that was 7 scans of `documents` plus 7 re-projections per
+    // execution (guide §2.4); PageRank implementations cache the vertex
+    // set for exactly this reason. One narrow doc_id column, pinned once.
+    val docs = handle.pin(t(s, dir, "documents").select(col("doc_id")))
     val und = Dedup.minhashNearDups(t(s, dir, "documents"), handle = handle)
       .select(col("id1"), col("id2"))
     val edges = handle.pin(

@@ -266,14 +266,20 @@ object Similarity {
     val seeded = emb.withColumn("cell0",
       expr(graft.functions.Hyperplanes.sparkCellExprN("emb", cellBits)))
     // Fixed-point per-cell centroid (exact integer sums — deterministic).
-    val cents = seeded
+    // Pinned (≤ 2^cellBits tiny rows, r13): every consumer references
+    // the codebook at least twice (the scoring crossJoin + q156's
+    // residual subtraction, or the assignment and probe branches), and
+    // each un-pinned reference re-ran the corpus-scale training
+    // aggregation — measured as 1-2 extra full passes per IVF query
+    // (guide §2.4: remove recomputed subtrees outright).
+    val cents = StorageHandle.sessionDefault().pin(seeded
       .select(col("cell0"), posexplode(
         expr("transform(emb, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
       .groupBy(col("cell0"), col("dim"))
       .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
       .groupBy(col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
-      .select(col("cell0").as("cell"), col("centroid"))
+      .select(col("cell0").as("cell"), col("centroid")))
     // One Lloyd step: rank all k centroids per vector (k·N codegen'd dots
     // against the broadcast centroids). The ranking window shuffles ONLY
     // the narrow (vec_id, cell, d) triples — never the 16×-multiplied
@@ -520,6 +526,11 @@ object Similarity {
     // (d DESC via max, then cell ASC via the negated field) reproduces
     // ivfRanked's rn = 1 tie-break exactly, so the oracle's ROW_NUMBER
     // formulation still matches bit-for-bit.
+    // r13 note: pinning the narrow (vec_id, cell) frame here was tried
+    // and reverted — the cache-materialization barrier cost more at
+    // sf0.1 than the duplicated argmax tower (probes/r13opt), and at
+    // corpus scale caching a corpus-CARDINALITY frame trades a cheap
+    // map-side recompute for executor storage pressure (guide §5).
     val assigned = scored
       .groupBy(col("vec_id"))
       .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
@@ -623,6 +634,12 @@ object Similarity {
       .groupBy(col("super0"))
       .agg(centroidAgg.as("centroid"))
       .select(col("super0").as("cell"), col("centroid"))
+    // r13 note: pinning (vec_id, super) and (vec_id, cell) here was
+    // tried and reverted — two cache barriers in sequence cost q150 a
+    // measured +1.0 s at sf0.1 (probes/r13opt) vs the recomputed towers,
+    // and corpus-cardinality caches are the wrong trade at scale too
+    // (guide §5: caching competes with execution memory; the recompute
+    // is one scan + 2^hi broadcast dots).
     val supAssigned = emb.crossJoin(broadcast(supCents))
       .select(col("vec_id"), col("cell"), expr("graft_dot(emb, centroid)").as("d"))
       .groupBy(col("vec_id"))
@@ -1320,16 +1337,19 @@ object Similarity {
     val M = H.pqM
     val subs = pqSubsOf(emb)
     // Seed partition + fixed-point centroids (the q58 integer-mean trick,
-    // per (subspace, cell) instead of per cell).
+    // per (subspace, cell) instead of per cell). Pinned (≤ M·2^pqBits
+    // tiny rows, r13): the codebook is consumed at least twice (encode
+    // broadcast + the caller's LUT build), and every un-pinned reference
+    // re-ran the corpus-scale training aggregation (guide §2.4).
     val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
-    val cents = seeded
+    val cents = StorageHandle.sessionDefault().pin(seeded
       .select(col("m"), col("cell0"), posexplode(
         expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
       .groupBy(col("m"), col("cell0"), col("dim"))
       .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
       .groupBy(col("m"), col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
-      .select(col("m"), col("cell0").as("cell"), col("centroid"))
+      .select(col("m"), col("cell0").as("cell"), col("centroid")))
     (cents, pqEncode(subs, cents))
   }
 
@@ -1533,6 +1553,10 @@ object Similarity {
     val ranked = scored.withColumn("rn", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
         .orderBy(col("d").desc, col("cell").asc)))
+    // r13 note: pinning the narrow (vec_id, cell) assignment here was
+    // tried and reverted — the barrier cost q156 a measured +0.5 s at
+    // sf0.1 vs the duplicated ranking window (probes/r13opt), and a
+    // corpus-cardinality cache is the wrong trade at scale (guide §5).
     val assigned = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
     // Residuals: x − c(cell) per corpus vector (broadcast 16 centroids).
     val resid = emb.join(assigned, "vec_id")
@@ -1826,6 +1850,12 @@ object Similarity {
     val H = graft.functions.Hyperplanes
     val subs = pqSubsOf(emb)
     val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
+    // NOT pinned (r13 measured): sums feeds cents once and supCentsOf
+    // once or (refined) twice, but every consumer sits under a
+    // BroadcastExchange, and those broadcast jobs evaluate their towers
+    // CONCURRENTLY on otherwise-idle cores — pinning serialized them
+    // behind one cache-materialization barrier and cost q160/q161/q163/
+    // q165 a consistent +1-2 s each at sf0.1 (probes/r13opt).
     val sums = seeded
       .select(col("m"), col("cell0"), posexplode(
         expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
@@ -1865,14 +1895,21 @@ object Similarity {
   private[graft] def pqEncodeHier(subs: DataFrame, cents: DataFrame,
                                   groups: DataFrame, supCents: DataFrame,
                                   beam: Int): DataFrame = {
+    // r13: the subvector rides THROUGH the stage-1 aggregation
+    // (first(sub) — every row of a (vec_id, m) group carries the
+    // identical sub, so any member is THE value) instead of stage 2
+    // re-joining subs by (vec_id, m) — that join was a second
+    // corpus-scale exchange pair plus a recompute of the subs explode
+    // (guide §2.4). Aggregation orderings are unchanged, so codes are
+    // bit-identical (PqSpec pins this).
     val s1 = subs.join(broadcast(supCents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("g"),
+      .select(col("vec_id"), col("m"), col("sub"), col("g"),
         expr("graft_dot(sub, scentroid)").as("sc"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
-      .select(col("vec_id"), col("m"), explode(col("gs")).as("g"))
-    subs.join(s1, Seq("vec_id", "m"))
-      .join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
+      .agg(first(col("sub")).as("sub"),
+        expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
+      .select(col("vec_id"), col("m"), col("sub"), explode(col("gs")).as("g"))
+    s1.join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
         Seq("m", "cell"))), Seq("m"))
       .filter(col("cg") === col("g"))
       .select(col("vec_id"), col("m"), col("cell"),
