@@ -322,11 +322,15 @@ object Pipeline {
       (col("doc_id") === min(col("doc_id")).over(
         Window.partitionBy(md5(col("text").cast("binary"))))).as("exact_canonical"))
     val pairs = Dedup.minhashNearDups(docs).select(col("id1"), col("id2"))
-    val quality = docs
+    // Pinned (r13): the keeper argmax and the final manifest join both
+    // read the quality frame — un-pinned, each reference re-ran the
+    // text split + distinct over the full corpus (guide §2.4). Three
+    // narrow numeric columns, far smaller than the text it derives from.
+    val quality = StorageHandle.sessionDefault().pin(docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr")))
     val keeper = Curation.connectedComponents(docs.select(col("doc_id")), pairs)
       .join(quality.select(col("doc_id"), col("ttr")), "doc_id")
       .withColumn("keeper_id", first(col("doc_id")).over(
