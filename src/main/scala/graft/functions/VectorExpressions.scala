@@ -59,7 +59,23 @@ object VectorExpressions {
     ("graft_char_entropy", classOf[CharEntropyExpr].getName,
       arity1("graft_char_entropy", CharEntropyExpr(_))),
     ("graft_char_trigrams", classOf[CharTrigramsExpr].getName,
-      arity1("graft_char_trigrams", CharTrigramsExpr(_))))
+      arity1("graft_char_trigrams", CharTrigramsExpr(_))),
+    ("graft_argmax_dot", classOf[ArgmaxDotExpr].getName, {
+      case Seq(a, b) => ArgmaxDotExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_argmax_dot takes exactly 2 arguments, got ${other.size}")
+    }: (Seq[Expression] => Expression)),
+    ("graft_top_dots", classOf[TopDotsExpr].getName, {
+      case Seq(a, b, k) => TopDotsExpr(a, b, k.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_top_dots takes (vec, cands, k), got ${other.size} args")
+    }: (Seq[Expression] => Expression)),
+    ("graft_pq_hier_code", classOf[PqHierCodeExpr].getName, {
+      case Seq(s, sup, gc, beam) => PqHierCodeExpr(s, sup, gc,
+        beam.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_hier_code takes (sub, sups, gcells, beam), got ${other.size} args")
+    }: (Seq[Expression] => Expression)))
 
   /** Idempotent session registration; exposes every [[builders]] entry in
     * SQL and `expr("graft_...(...)")`. All run inside whole-stage codegen.

@@ -306,17 +306,32 @@ object Similarity {
         .orderBy(col("d").desc, col("cell").asc))))
   }
 
+  /** One-row broadcast form of an IVF codebook: `cands` =
+    * array<struct<cell int, cent array<double>>>, cell ascending — a
+    * ≤ 2^cellBits-row aggregation, independent of corpus size.
+    */
+  private def ivfCentsRow(cents: DataFrame): DataFrame =
+    cents.agg(expr("transform(array_sort(collect_list(struct(cell, centroid))), e -> named_struct('cell', e.cell, 'cent', e.centroid))").as("cands"))
+
   def q58AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val nProbe = 4
-    val (emb, ranked) = ivfRanked(s, dir)
-    val assigned = ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"))
-      .join(emb, "vec_id")
-      .select(col("vec_id"), col("emb"), col("cell"))
-    val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("cell"))
-      .join(broadcast(emb.filter(col("vec_id") < 20)), col("query_id") === col("vec_id"))
-      .select(col("query_id"), col("emb").as("q_emb"), col("cell"))
+    // r13: assignment and probe routing are per-row expressions against
+    // the one-row broadcast codebook — graft_argmax_dot IS ivfRanked's
+    // rn = 1 and graft_top_dots IS its rn <= nProbe slice (ordering-
+    // parity arguments in graft.functions.ArgmaxExpressions; the oracle
+    // re-proves both here). The n·2^cellBits scored explosion, its
+    // ranking window (exchange + full sort), and the two joins that
+    // re-attached emb are gone from the plan (guide §2.4).
+    val (emb, cents, _) = ivfModel(s, dir)
+    val centsRow = ivfCentsRow(cents)
+    val assigned = emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"), col("emb"),
+        expr("graft_argmax_dot(emb, cands)").as("cell"))
+    val probeCells = emb.filter(col("vec_id") < 20)
+      .crossJoin(broadcast(centsRow))
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        explode(expr(s"graft_top_dots(emb, cands, $nProbe)")).as("p"))
+      .select(col("query_id"), col("q_emb"), col("p.cell").as("cell"))
     broadcast(probeCells)
       .join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -518,24 +533,21 @@ object Similarity {
     * posture oracle-checked, mirroring q101's role for q54.
     */
   def semanticDedup(s: SparkSession, dir: String, cellBits: Int): DataFrame = {
-    val (emb, scored) = ivfScored(s, dir, cellBits)
-    // Assignment is an ARGMAX, not a ranking: a partial-aggregated
-    // max(struct(d, -cell)) replaces the full n·2^cellBits-row sort window
-    // (at 8 bits that window was the dominant cost at sf1 — 12.8M rows
-    // through one sort vs a map-side-combined agg). The struct order
-    // (d DESC via max, then cell ASC via the negated field) reproduces
-    // ivfRanked's rn = 1 tie-break exactly, so the oracle's ROW_NUMBER
-    // formulation still matches bit-for-bit.
-    // r13 note: pinning the narrow (vec_id, cell) frame here was tried
-    // and reverted — the cache-materialization barrier cost more at
-    // sf0.1 than the duplicated argmax tower (probes/r13opt), and at
-    // corpus scale caching a corpus-CARDINALITY frame trades a cheap
-    // map-side recompute for executor storage pressure (guide §5).
-    val assigned = scored
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).cast("int").as("cell"))
-      .join(emb, "vec_id")
+    val (emb, cents, _) = ivfModel(s, dir, cellBits)
+    // Assignment is an ARGMAX, not a ranking — and since r13 a per-row
+    // graft_argmax_dot against the one-row broadcast codebook: the
+    // previous max(struct(d, -cell)) already avoided the n·2^cellBits
+    // ranking window (the dominant sf1 cost when this was a sort), but
+    // a struct-ordered max is not hash-aggregable, so it still paid a
+    // corpus-scale SortAggregate pair per reference (the pair-mining
+    // self-join makes TWO) plus the scored explosion and the join that
+    // re-attached emb. The expression keeps the identical d DESC / cell
+    // ASC tie-break, so the oracle's ROW_NUMBER formulation still
+    // matches bit-for-bit. (Pinning the narrow frame instead was tried
+    // and reverted — cache barrier, probes/r13opt.)
+    val assigned = emb.crossJoin(broadcast(ivfCentsRow(cents)))
+      .select(col("vec_id"), col("emb"),
+        expr("graft_argmax_dot(emb, cands)").as("cell"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
@@ -634,20 +646,22 @@ object Similarity {
       .groupBy(col("super0"))
       .agg(centroidAgg.as("centroid"))
       .select(col("super0").as("cell"), col("centroid"))
-    // r13 note: pinning (vec_id, super) and (vec_id, cell) here was
-    // tried and reverted — two cache barriers in sequence cost q150 a
-    // measured +1.0 s at sf0.1 (probes/r13opt) vs the recomputed towers,
-    // and corpus-cardinality caches are the wrong trade at scale too
-    // (guide §5: caching competes with execution memory; the recompute
-    // is one scan + 2^hi broadcast dots).
-    val supAssigned = emb.crossJoin(broadcast(supCents))
-      .select(col("vec_id"), col("cell"), expr("graft_dot(emb, centroid)").as("d"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("d"), (-col("cell")).as("nc"))).as("m"))
-      .select(col("vec_id"), (-col("m.nc")).cast("int").as("super"))
+    // r13: both assignment levels are per-row graft_argmax_dot evals
+    // against one-row broadcast codebooks (ordering-parity argument in
+    // graft.functions.ArgmaxExpressions) — the old shape exploded
+    // n·2^hi (then per-super) scored rows and folded them back through
+    // corpus-scale SortAggregate pairs (struct-ordered max is not
+    // hash-aggregable), recomputed per pair-mining self-join side, plus
+    // the join that re-attached emb for level 2. supAssigned carries
+    // emb through, so level 2 starts without a join. (Pinning the
+    // narrow frames instead was tried and reverted — cache barriers,
+    // probes/r13opt.)
+    val supAssigned = emb.crossJoin(broadcast(ivfCentsRow(supCents)))
+      .select(col("vec_id"), col("emb"),
+        expr("graft_argmax_dot(emb, cands)").as("super"))
     // Level 2: sub cells from the DISJOINT plane span [hi, hi + lo),
     // seeded and assigned within each super cell.
-    val subSeeded = emb.join(supAssigned, "vec_id")
+    val subSeeded = supAssigned
       .withColumn("sub0", expr(H.sparkCellExprRange("emb", hiBits, loBits)))
     val subCents = subSeeded
       .select(col("super"), col("sub0"), posexplode(expr(fxArr)).as(Seq("dim", "fx")))
@@ -656,14 +670,18 @@ object Similarity {
       .groupBy(col("super"), col("sub0"))
       .agg(centroidAgg.as("centroid"))
       .select(col("super"), col("sub0").as("sub"), col("centroid"))
-    val assigned = subSeeded.join(broadcast(subCents), Seq("super"))
-      .select(col("vec_id"), col("super"), col("sub"),
-        expr("graft_dot(emb, centroid)").as("d"))
-      .groupBy(col("vec_id"), col("super"))
-      .agg(max(struct(col("d"), (-col("sub")).as("ns"))).as("m"))
-      .select(col("vec_id"),
-        (col("super") * lit(1 << loBits) - col("m.ns")).cast("int").as("cell"))
-      .join(emb, "vec_id")
+    // Per-super candidate map (≤ 2^(hi+lo) rows): each vector folds only
+    // its own super's sub-cells — the same ≤ 2^lo dots the join form
+    // scored, via the map side of graft_pq_hier_code's stage-2 idiom
+    // (one-group beam = plain argmax within the group).
+    val subMapRow = subCents.groupBy(col("super"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, centroid))), e -> named_struct('cell', e.sub, 'cent', e.centroid))").as("cands"))
+      .agg(expr("map_from_entries(collect_list(struct(super, cands)))").as("submap"))
+    val assigned = subSeeded.crossJoin(broadcast(subMapRow))
+      .select(col("vec_id"), col("emb"),
+        (col("super") * lit(1 << loBits) +
+          expr("graft_argmax_dot(emb, element_at(submap, super))"))
+          .cast("int").as("cell"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
@@ -1350,7 +1368,7 @@ object Similarity {
       .groupBy(col("m"), col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
       .select(col("m"), col("cell0").as("cell"), col("centroid")))
-    (cents, pqEncode(subs, cents))
+    (cents, pqEncode(emb, cents))
   }
 
   /** Subvectors of an (vec_id, emb array<double>) frame: one row per
@@ -1364,22 +1382,47 @@ object Similarity {
         .as(Seq("m", "sub")))
   }
 
-  /** Encode: one Lloyd step — max-dot centroid per (vector, subspace),
-    * tie to the lowest cell. max_by on (score, -cell) is a single
-    * partial-aggregated pass (no n·M·K window shuffle); the codebook
-    * broadcasts. Factored from [[pqModelOn]] so the PQ index write can
-    * encode an APPEND batch against the index's persisted codebook — the
-    * incremental-maintenance discipline (a retrained codebook would
-    * silently shift every resident code).
+  /** One-row broadcast form of a flat PQ codebook: `cents_arr[m + 1]` =
+    * subspace m's candidate list array<struct<cell int, cent
+    * array<double>>>, cell ascending. A ≤ M·2^pqBits-row aggregation —
+    * independent of corpus size.
     */
-  private[graft] def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame =
-    subs.join(broadcast(cents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("cell"),
-        expr("graft_dot(sub, centroid)").as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+  private def pqCentsRow(cents: DataFrame): DataFrame =
+    cents.groupBy(col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(cell, centroid))), e -> named_struct('cell', e.cell, 'cent', e.centroid))").as("cands"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, cands))), e -> e.cands)").as("cents_arr"))
+
+  /** Encode: one Lloyd step — max-dot centroid per (vector, subspace),
+    * tie to the lowest cell. r13: ONE map-only projection per corpus row
+    * — M `graft_argmax_dot` evals (hand-evaluated tight loops, see
+    * [[graft.functions.ArgmaxDotExpr]]) against the one-row broadcast
+    * codebook, replacing the (vector, subspace, cell) explosion and the
+    * corpus-scale SortAggregate pair its struct-ordered max_by forced
+    * (plus the ObjectHashAggregate codes reassembly). Ordering parity:
+    * the expression IS max_by(cell, struct(sc, -cell)) — argued in its
+    * scaladoc, pinned by PqSpec. Still factored from [[pqModelOn]] so
+    * the PQ index write can encode an APPEND batch against the index's
+    * persisted codebook — the incremental-maintenance discipline (a
+    * retrained codebook would silently shift every resident code).
+    * Takes the (vec_id, emb) frame — the subs explode itself was a
+    * third of the old encode's rows.
+    */
+  private[graft] def pqEncode(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(pqCentsRow(cents)))
+      .select(col("vec_id"), expr(pqEncodeExprStr).as("codes"))
+
+  /** The flat-encode codes expression over a frame carrying `emb` and
+    * [[pqCentsRow]]'s `cents_arr` — exposed so a caller that needs other
+    * per-row model expressions in the SAME projection (q155/q156's
+    * corpus rows carry their IVF cell beside the codes) can avoid a
+    * second encode pass + re-join.
+    */
+  private def pqEncodeExprStr: String = {
+    val H = graft.functions.Hyperplanes
+    s"""transform(sequence(0, ${H.pqM - 1}), mm ->
+       graft_argmax_dot(slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}),
+                        element_at(cents_arr, mm + 1)))"""
+  }
 
   def q154AnnPqAdc(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
@@ -1500,15 +1543,25 @@ object Similarity {
     val M = H.pqM
     val K = 1 << H.pqBits
     val nProbe = 4
-    val emb = t(s, dir, "embeddings")
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
-    val (_, ranked) = ivfRanked(s, dir)
-    val (cents, codes) = pqModel(s, dir)
+    // r13: routing is the per-row expression form (graft_argmax_dot /
+    // graft_top_dots — ivfRanked's rn = 1 / rn <= nProbe exactly), and
+    // the corpus row computes its cell in the SAME projection as its
+    // codes (both are per-row functions of emb against one-row
+    // broadcast models), so the n·2^cellBits ranking window AND the
+    // codes⋈assignment join disappear (guide §2.4).
+    val (emb, ivfCents, _) = ivfModel(s, dir)
+    val ivfRow = ivfCentsRow(ivfCents)
+    val (cents, _) = pqModelOn(emb)
     // Corpus row: (vec_id, codes, cell) — the persisted IVF-PQ layout.
-    val corpus = codes.join(
-      ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell")), "vec_id")
-    val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("cell"))
+    val corpus = emb.crossJoin(broadcast(pqCentsRow(cents)))
+      .crossJoin(broadcast(ivfRow))
+      .select(col("vec_id"), expr(pqEncodeExprStr).as("codes"),
+        expr("graft_argmax_dot(emb, cands)").as("cell"))
+    val probeCells = emb.filter(col("vec_id") < 20)
+      .crossJoin(broadcast(ivfRow))
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"graft_top_dots(emb, cands, $nProbe)")).as("p"))
+      .select(col("query_id"), col("p.cell").as("cell"))
     val lut = pqLutDf(emb, cents)
     // Routed ADC scan: the broadcast probe-cell list prunes the corpus
     // to ~nProbe/k before any scoring; a (query, vector) pair appears at
@@ -1549,32 +1602,37 @@ object Similarity {
     val M = H.pqM
     val K = 1 << H.pqBits
     val nProbe = 4
-    val (emb, ivfCents, scored) = ivfModel(s, dir)
-    val ranked = scored.withColumn("rn", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").desc, col("cell").asc)))
-    // r13 note: pinning the narrow (vec_id, cell) assignment here was
-    // tried and reverted — the barrier cost q156 a measured +0.5 s at
-    // sf0.1 vs the duplicated ranking window (probes/r13opt), and a
-    // corpus-cardinality cache is the wrong trade at scale (guide §5).
-    val assigned = ranked.filter(col("rn") === 1).select(col("vec_id"), col("cell"))
-    // Residuals: x − c(cell) per corpus vector (broadcast 16 centroids).
-    val resid = emb.join(assigned, "vec_id")
-      .join(broadcast(ivfCents), Seq("cell"))
+    // r13: assignment, residual subtraction, and probe routing are
+    // per-row expressions against the one-row broadcast IVF codebook
+    // (graft_argmax_dot / graft_top_dots — rn = 1 / rn <= nProbe with
+    // the identical tie-break), so the n·2^cellBits ranking window, the
+    // two joins that attached (cell, centroid) to the corpus, and the
+    // separate ⟨q, c(cell)⟩ relation all collapse: the residual is
+    // computed in the assignment's own projection (centroid looked up
+    // from the broadcast candidate list — same doubles, so the
+    // subtraction is bit-identical) and qc rides the probe list (the
+    // same graft_dot fold on the same inputs).
+    val (emb, ivfCents, _) = ivfModel(s, dir)
+    val ivfRow = ivfCentsRow(ivfCents)
+    val resid = emb.crossJoin(broadcast(ivfRow))
+      .select(col("vec_id"), col("emb"), col("cands"),
+        expr("graft_argmax_dot(emb, cands)").as("cell"))
       .select(col("vec_id"), col("cell"),
-        expr("zip_with(emb, centroid, (a, b) -> a - b)").as("remb"))
-    val (rCents, rCodes) = pqModelOn(resid.select(col("vec_id"), col("remb").as("emb")))
-    val corpus = rCodes.join(assigned, "vec_id")
-    val probeCells = ranked.filter(col("rn") <= nProbe && col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("cell"))
-    // ⟨q, c(cell)⟩ for each (probe, probed cell): the coarse ranking pass
-    // already computed every query×cell dot — reuse it.
-    val qc = scored.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("cell"), col("d").as("qc"))
+        expr("zip_with(emb, filter(cands, c -> c.cell = cell)[0].cent, (a, b) -> a - b)").as("remb"))
+    val (rCents, _) = pqModelOn(resid.select(col("vec_id"), col("remb").as("emb")))
+    // Corpus row (vec_id, cell, codes): the residual encode in one
+    // projection, the cell carried through instead of re-joined.
+    val corpus = resid.select(col("vec_id"), col("cell"), col("remb").as("emb"))
+      .crossJoin(broadcast(pqCentsRow(rCents)))
+      .select(col("vec_id"), col("cell"), expr(pqEncodeExprStr).as("codes"))
+    val probeCells = emb.filter(col("vec_id") < 20)
+      .crossJoin(broadcast(ivfRow))
+      .select(col("vec_id").as("query_id"),
+        explode(expr(s"graft_top_dots(emb, cands, $nProbe)")).as("p"))
+      .select(col("query_id"), col("p.cell").as("cell"), col("p.d").as("qc"))
     val lut = pqLutDf(emb, rCents)
     val adc = corpus.join(broadcast(probeCells), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .join(broadcast(qc), Seq("query_id", "cell"))
       .join(broadcast(lut), Seq("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         expr(s"qc + aggregate(sequence(0, ${M - 1}), CAST(0 AS DOUBLE), (acc, mm) -> acc + lut[mm * $K + codes[mm]])").as("adc"))
@@ -1892,32 +1950,67 @@ object Similarity {
     * encode is the index's recurring cost, so the registered 100×
     * encoder and the index's encoder must be one code path.
     */
-  private[graft] def pqEncodeHier(subs: DataFrame, cents: DataFrame,
+  /** One-row broadcast form of a trained hierarchical PQ model:
+    * `sup_arr[m + 1]` = subspace m's super-centroid list
+    * array<struct<g int, scent array<double>>>, and
+    * `cells_arr[m + 1][g]` = group g's member cells
+    * array<struct<cell int, cent array<double>>> (cell ascending).
+    * Aggregations over ≤ M·2^pqBits rows — independent of corpus size.
+    * The (m, gcells) assembly sorts with an explicit comparator because
+    * structs containing MAP fields are not orderable.
+    */
+  private def pqHierModelRow(cents: DataFrame, groups: DataFrame,
+                             supCents: DataFrame): DataFrame = {
+    // g arrives as BIGINT (`cell div groupSize`); the expression reads
+    // int keys — a lossless cast (g < 2^pqBits).
+    val supA = supCents.groupBy(col("m"))
+      .agg(expr("collect_list(named_struct('g', CAST(g AS INT), 'scent', scentroid))").as("sups"))
+    val cellA = cents.join(groups, Seq("m", "cell"))
+      .groupBy(col("m"), col("g"))
+      .agg(expr("transform(array_sort(collect_list(struct(cell, centroid))), e -> named_struct('cell', e.cell, 'cent', e.centroid))").as("cands"))
+      .groupBy(col("m"))
+      .agg(expr("map_from_entries(collect_list(struct(CAST(g AS INT) AS g, cands)))").as("gcells"))
+    supA.join(cellA, Seq("m"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(m, sups))), e -> e.sups)").as("sup_arr"),
+        expr("""transform(array_sort(collect_list(struct(m, gcells)),
+            (l, r) -> CASE WHEN l.m < r.m THEN -1 WHEN l.m > r.m THEN 1 ELSE 0 END),
+          e -> e.gcells)""").as("cells_arr"))
+  }
+
+  /** Hierarchical encode of a (vec_id, emb) frame against an explicit
+    * trained model — stage 1 keeps the top-`beam` groups (sc DESC, g
+    * ASC), stage 2 the argmax-dot cell among their members (ties →
+    * lowest cell). r13: ONE map-only projection per corpus row — M
+    * `graft_pq_hier_code` evals (hand-evaluated two-stage fold, see
+    * [[graft.functions.PqHierCodeExpr]] for the ordering-parity
+    * argument) against the one-row broadcast model, replacing the
+    * (vector, subspace) explode, the stage-1 ObjectHashAggregate +
+    * exchange, the stage-2 join + corpus-scale SortAggregate pair, and
+    * the codes-reassembly aggregation — five corpus-scale operators and
+    * their exchanges (guide §2.4; PqSpec/AnnIngestSpec pin codes
+    * equality). Still factored from the q160/q161/q165 query bodies so
+    * the PQ index write/append path encodes with the SAME posture —
+    * encode is the index's recurring cost, so the registered 100×
+    * encoder and the index's encoder must be one code path.
+    */
+  private[graft] def pqEncodeHier(vecs: DataFrame, cents: DataFrame,
                                   groups: DataFrame, supCents: DataFrame,
-                                  beam: Int): DataFrame = {
-    // r13: the subvector rides THROUGH the stage-1 aggregation
-    // (first(sub) — every row of a (vec_id, m) group carries the
-    // identical sub, so any member is THE value) instead of stage 2
-    // re-joining subs by (vec_id, m) — that join was a second
-    // corpus-scale exchange pair plus a recompute of the subs explode
-    // (guide §2.4). Aggregation orderings are unchanged, so codes are
-    // bit-identical (PqSpec pins this).
-    val s1 = subs.join(broadcast(supCents), Seq("m"))
-      .select(col("vec_id"), col("m"), col("sub"), col("g"),
-        expr("graft_dot(sub, scentroid)").as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(first(col("sub")).as("sub"),
-        expr(s"slice(transform(sort_array(collect_list(named_struct('sc', sc, 'ng', -g)), false), e -> -e.ng), 1, $beam)").as("gs"))
-      .select(col("vec_id"), col("m"), col("sub"), explode(col("gs")).as("g"))
-    s1.join(broadcast(cents.join(groups.withColumnRenamed("g", "cg"),
-        Seq("m", "cell"))), Seq("m"))
-      .filter(col("cg") === col("g"))
-      .select(col("vec_id"), col("m"), col("cell"),
-        expr("graft_dot(sub, centroid)").as("sc"))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(expr("max_by(cell, struct(sc, -cell))").as("code"))
-      .groupBy(col("vec_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), e -> e.code)").as("codes"))
+                                  beam: Int): DataFrame =
+    vecs.crossJoin(broadcast(pqHierModelRow(cents, groups, supCents)))
+      .select(col("vec_id"), expr(pqEncodeHierExprStr(beam)).as("codes"))
+
+  /** The hierarchical-encode codes expression over a frame carrying
+    * `emb` and [[pqHierModelRow]]'s `sup_arr`/`cells_arr` — exposed so
+    * the index write computes codes in the SAME projection as its
+    * bucket explode instead of joining a second encode pass by vec_id.
+    */
+  private def pqEncodeHierExprStr(beam: Int): String = {
+    val H = graft.functions.Hyperplanes
+    s"""transform(sequence(0, ${H.pqM - 1}), mm ->
+       graft_pq_hier_code(slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}),
+                          element_at(sup_arr, mm + 1),
+                          element_at(cells_arr, mm + 1), $beam))"""
   }
 
   private[graft] def pqHier8(s: SparkSession, dir: String, beam: Int,
@@ -1931,7 +2024,7 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
     val (cents, groups, supCents) = pqHierModelOn(emb, bits, groupSize, refine)
-    val hCodes = pqEncodeHier(pqSubsOf(emb), cents, groups, supCents, beam)
+    val hCodes = pqEncodeHier(emb, cents, groups, supCents, beam)
     val lut = pqLutDf(emb, cents, pqBits = bits)
     val adc = hCodes.crossJoin(broadcast(lut))
       .filter(col("query_id") =!= col("vec_id"))
@@ -2167,10 +2260,14 @@ object Similarity {
         s.read.parquet(s"$path/_supcent"))
       else pqHierModelOn(vecs, pqBits,
         groupSize = math.min(annPqGroupSize, 1 << pqBits), refine = true)
-    val codes = pqEncodeHier(pqSubsOf(vecs), cents, groups, supCents, annPqBeam)
     val grpBits = indexGrpBits(bitsPerTable)
-    vecs.join(codes, Seq("vec_id"))
-      .select(col("vec_id"), col("codes"), posexplode(
+    // r13: codes are computed in the SAME projection as the bucket
+    // explode (both are per-row functions of emb against the one-row
+    // broadcast model) — the old shape ran a second encode subtree and
+    // joined it back by vec_id, a corpus-scale exchange pair paid on
+    // every build AND every appended batch (guide §2.4).
+    vecs.crossJoin(broadcast(pqHierModelRow(cents, groups, supCents)))
+      .select(col("vec_id"), expr(pqEncodeHierExprStr(annPqBeam)).as("codes"), posexplode(
         expr(graft.functions.Hyperplanes.sparkBucketsExpr("emb", bitsPerTable, numTables)))
         .as(Seq("tbl", "bucket")))
       .select(col("vec_id"), col("codes"), col("tbl").cast("int").as("tbl"),
@@ -2529,8 +2626,9 @@ object Similarity {
       .select(col("m"), col("cell"), col("centroid"))
     val groups = s.read.parquet(s"$indexPath/_groups")
     val supCents = s.read.parquet(s"$indexPath/_supcent")
-    val subs = pqSubsOf(batch.select(col("vec_id"), col("emb")).limit(sampleN))
-    val codes = pqEncodeHier(subs, cents, groups, supCents, annPqBeam)
+    val sample = batch.select(col("vec_id"), col("emb")).limit(sampleN)
+    val subs = pqSubsOf(sample)
+    val codes = pqEncodeHier(sample, cents, groups, supCents, annPqBeam)
     subs.join(codes, Seq("vec_id"))
       .select(col("vec_id"), col("m"), col("sub"),
         expr("element_at(codes, m + 1)").as("cell"))
@@ -2555,8 +2653,8 @@ object Similarity {
       .select(col("m"), col("cell"), col("centroid"))
     val groups = s.read.parquet(s"$indexPath/_groups")
     val supCents = s.read.parquet(s"$indexPath/_supcent")
-    val subs = pqSubsOf(batch.select(col("vec_id"), col("emb")).limit(sampleN))
-    pqEncodeHier(subs, cents, groups, supCents, annPqBeam)
+    pqEncodeHier(batch.select(col("vec_id"), col("emb")).limit(sampleN),
+        cents, groups, supCents, annPqBeam)
       .select(posexplode(col("codes")).as(Seq("m", "code")))
       .groupBy(col("m"), col("code")).count().collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap

@@ -138,7 +138,8 @@ class ScaleTechniquesSpec extends SparkSpec {
     val names = graft.functions.VectorExpressions.builders.map(_._1).toSet
     assert(names == Set("graft_dot", "graft_lsh_buckets", "graft_shingle_hashes",
       "graft_minhash_sig", "graft_minhash_bands", "graft_simhash", "graft_ahash",
-      "graft_char_entropy", "graft_char_trigrams"), names)
+      "graft_char_entropy", "graft_char_trigrams",
+      "graft_argmax_dot", "graft_top_dots", "graft_pq_hier_code"), names)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     graft.functions.VectorExpressions.register(spark)
     val r = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
@@ -154,9 +155,19 @@ class ScaleTechniquesSpec extends SparkSpec {
       "graft_simhash(array('a','b'))",
       "graft_ahash('abcdef')",
       "graft_char_entropy('aabbb').ent_micro",
-      "graft_char_trigrams('abcab')['abc']").foreach { call =>
+      "graft_char_trigrams('abcab')['abc']",
+      // r13 argmax family: candidates as array<struct<int, array<double>>>.
+      "graft_argmax_dot(array(1.0D, 0.0D), array(named_struct('cell', 3, 'cent', array(0.5D, 0.0D)), named_struct('cell', 1, 'cent', array(0.5D, 0.0D))))",
+      "graft_top_dots(array(1.0D), array(named_struct('cell', 2, 'cent', array(0.1D)), named_struct('cell', 1, 'cent', array(0.9D))), 2)[0].cell",
+      "graft_pq_hier_code(array(1.0D), array(named_struct('g', 0, 'scent', array(1.0D))), map(0, array(named_struct('cell', 7, 'cent', array(1.0D)))), 1)").foreach { call =>
       assert(spark.sql(s"SELECT $call AS v").collect().length == 1, call)
     }
+    // The argmax tie rule (equal score -> LOWEST id) — the ordering
+    // parity every PQ/IVF oracle hash rides on.
+    assert(spark.sql("SELECT graft_argmax_dot(array(1.0D), array(" +
+      "named_struct('cell', 3, 'cent', array(0.5D)), " +
+      "named_struct('cell', 1, 'cent', array(0.5D)))) AS v")
+      .collect()(0).getInt(0) == 1)
     // Wrong arity raises (not silently dropped) — same builder both paths.
     intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1.0D))").collect()
