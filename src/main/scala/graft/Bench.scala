@@ -389,6 +389,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] full-line write failed ($fullPath): ${e.getMessage}")
     }
+    // Stable driver/judge-readable artifact (VERDICT r13 item 2): the
+    // driver's stdout capture keeps only the last 2000 chars, so the full
+    // per-query map cannot travel through the pipe and both r12 and r13
+    // PERF comparisons came back empty ("parsed": null). The full line is
+    // therefore ALSO written to a fixed root-level file — cwd is the repo
+    // root for both sbt and run_local.sh invocations — on FULL-SUITE runs
+    // only (a SPARK_GRAFT_ONLY subset must not overwrite the authoritative
+    // artifact with a partial map). Written after all timing completes;
+    // the timed path is unchanged.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      }
+    }
     val chunks = entryStrs.grouped(24).toSeq
     chunks.zipWithIndex.foreach { case (es, i) =>
       println(s"""{"bench_chunk":${i + 1},"of":${chunks.size},"queries":${es.mkString("{", ",", "}")}}""")

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 
@@ -52,35 +52,17 @@ object ArgmaxExpressions {
           fields(1).dataType == ArrayType(DoubleType, true))
     case _ => false
   }
-}
 
-/** `graft_argmax_dot(sub, cands)` — the id of the candidate with the
-  * max dot(sub, centroid), ties to the LOWEST id. `cands` is
-  * array<struct<id int, cent array<double>>> (field names free; access
-  * is positional). Exactly `max_by(cell, struct(sc, -cell))` and
-  * exactly a `(d DESC, cell ASC)` ROW_NUMBER's rn = 1: ascending
-  * iteration keeps a strictly-greater score or an equal score with a
-  * lower id. Null input → null (never occurs on the broadcast model
-  * rows; guards anyway).
-  */
-case class ArgmaxDotExpr(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(DoubleType, false) ||
-        left.dataType == ArrayType(DoubleType, true)) {
-      if (ArgmaxExpressions.candsTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"graft_argmax_dot candidates must be array<struct<int, array<double>>>, got ${right.dataType.simpleString}")
-    } else TypeCheckResult.TypeCheckFailure(
-      s"graft_argmax_dot vector must be array<double>, got ${left.dataType.simpleString}")
-
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_argmax_dot"
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val sub = l.asInstanceOf[ArrayData]
-    val cands = r.asInstanceOf[ArrayData]
+  /** The [[ArgmaxDotExpr]] fold as a static helper, shared by the
+    * interpreted eval and the generated code (r14, VERDICT r13 item 7:
+    * CodegenFallback forced a full input-row materialization + an
+    * interpreted boxed eval wherever the expression sat in a DIRECT
+    * projection — q58/q155/q156 routing, semanticDedup assignment —
+    * rather than inside a `transform` lambda). A top-level object with
+    * no companion class gets Java static forwarders, so generated code
+    * calls this without going through MODULE$.
+    */
+  def argmaxDot(sub: ArrayData, cands: ArrayData): Int = {
     val n = cands.numElements()
     var bestCell = Int.MaxValue
     var bestSc = Double.NegativeInfinity
@@ -88,7 +70,7 @@ case class ArgmaxDotExpr(left: Expression, right: Expression)
     while (i < n) {
       val row = cands.getStruct(i, 2)
       val cell = row.getInt(0)
-      val sc = ArgmaxExpressions.dot(sub, row.getArray(1))
+      val sc = dot(sub, row.getArray(1))
       if (sc > bestSc || (sc == bestSc && cell < bestCell)) {
         bestSc = sc; bestCell = cell
       }
@@ -97,35 +79,11 @@ case class ArgmaxDotExpr(left: Expression, right: Expression)
     bestCell
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ArgmaxDotExpr =
-    copy(left = newLeft, right = newRight)
-}
-
-/** `graft_top_dots(sub, cands, k)` — the k candidates ordered
-  * (dot DESC, id ASC), as array<struct<cell int, d double>>. Exactly
-  * the `(d DESC, cell ASC)` ROW_NUMBER's rn <= k slice and exactly the
-  * `slice(sort_array(collect_list(struct(sc, -id)), false), 1, k)`
-  * idiom: the insertion sort below maintains that total order (ids are
-  * distinct, so it IS total) regardless of input order.
-  */
-case class TopDotsExpr(left: Expression, right: Expression, k: Int)
-  extends BinaryExpression with CodegenFallback {
-  require(k > 0, s"graft_top_dots k must be positive, got $k")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (ArgmaxExpressions.candsTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"graft_top_dots candidates must be array<struct<int, array<double>>>, got ${right.dataType.simpleString}")
-
-  override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("cell", IntegerType, nullable = false),
-      StructField("d", DoubleType, nullable = false))), containsNull = false)
-  override def prettyName: String = "graft_top_dots"
-
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val sub = l.asInstanceOf[ArrayData]
-    val cands = r.asInstanceOf[ArrayData]
+  /** The [[TopDotsExpr]] insertion-sorted top-k as a static helper —
+    * same sharing rationale as [[argmaxDot]] (graft_top_dots sits in
+    * the direct nProbe-routing projections of q58/q155/q156).
+    */
+  def topDots(sub: ArrayData, cands: ArrayData, k: Int): ArrayData = {
     val n = cands.numElements()
     val m = math.min(k, n)
     val cells = new Array[Int](m)
@@ -135,7 +93,7 @@ case class TopDotsExpr(left: Expression, right: Expression, k: Int)
     while (i < n) {
       val row = cands.getStruct(i, 2)
       val cell = row.getInt(0)
-      val sc = ArgmaxExpressions.dot(sub, row.getArray(1))
+      val sc = dot(sub, row.getArray(1))
       // Insertion position: before the first kept entry this candidate
       // BEATS under (d DESC, cell ASC).
       var p = filled
@@ -157,6 +115,78 @@ case class TopDotsExpr(left: Expression, right: Expression, k: Int)
     }
     new GenericArrayData(out)
   }
+}
+
+/** `graft_argmax_dot(sub, cands)` — the id of the candidate with the
+  * max dot(sub, centroid), ties to the LOWEST id. `cands` is
+  * array<struct<id int, cent array<double>>> (field names free; access
+  * is positional). Exactly `max_by(cell, struct(sc, -cell))` and
+  * exactly a `(d DESC, cell ASC)` ROW_NUMBER's rn = 1: ascending
+  * iteration keeps a strictly-greater score or an equal score with a
+  * lower id. Null input → null (never occurs on the broadcast model
+  * rows; guards anyway).
+  */
+case class ArgmaxDotExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(DoubleType, false) ||
+        left.dataType == ArrayType(DoubleType, true)) {
+      if (ArgmaxExpressions.candsTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_argmax_dot candidates must be array<struct<int, array<double>>>, got ${right.dataType.simpleString}")
+    } else TypeCheckResult.TypeCheckFailure(
+      s"graft_argmax_dot vector must be array<double>, got ${left.dataType.simpleString}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_argmax_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ArgmaxExpressions.argmaxDot(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  // r14 (VERDICT r13 item 7): real codegen instead of CodegenFallback —
+  // the generated projection calls the SAME static fold the interpreted
+  // path uses (bit-identical by construction), with no input-row
+  // materialization and no boxing.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.ArgmaxExpressions.argmaxDot($l, $r);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_top_dots(sub, cands, k)` — the k candidates ordered
+  * (dot DESC, id ASC), as array<struct<cell int, d double>>. Exactly
+  * the `(d DESC, cell ASC)` ROW_NUMBER's rn <= k slice and exactly the
+  * `slice(sort_array(collect_list(struct(sc, -id)), false), 1, k)`
+  * idiom: the insertion sort below maintains that total order (ids are
+  * distinct, so it IS total) regardless of input order.
+  */
+case class TopDotsExpr(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression {
+  require(k > 0, s"graft_top_dots k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ArgmaxExpressions.candsTypeOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_top_dots candidates must be array<struct<int, array<double>>>, got ${right.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("cell", IntegerType, nullable = false),
+      StructField("d", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_top_dots"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    ArgmaxExpressions.topDots(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], k)
+
+  // r14: same codegen treatment as ArgmaxDotExpr — graft_top_dots sits
+  // in the direct nProbe-routing projections (q58/q155/q156), where
+  // CodegenFallback forced an input-row materialization per row.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.ArgmaxExpressions.topDots($l, $r, $k);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopDotsExpr =

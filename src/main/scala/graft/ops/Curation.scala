@@ -47,7 +47,7 @@ object Curation {
     // J ≥ 0.6 pair set as the inverted-index formulation (q52 is
     // hash-checked against q51's oracle) at a fraction of the cost — and
     // it is the formulation a 100 TB clustering run would feed from.
-    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"))
+    val pairs = Dedup.minhashNearDups(t(s, dir, "documents"), sorted = false)
       .select(col("id1"), col("id2"))
     connectedComponents(docs, pairs)
   }
@@ -608,7 +608,8 @@ object Curation {
   def q86ClusterKeeper(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     // Same MinHash-mined edge set as q73 (identical pairs, q52-proven).
-    val pairs = Dedup.minhashNearDups(docs).select(col("id1"), col("id2"))
+    val pairs = Dedup.minhashNearDups(docs, sorted = false)
+      .select(col("id1"), col("id2"))
     val clusters = connectedComponents(docs.select(col("doc_id")), pairs)
       .select(col("doc_id"), col("cluster_id"))
     val quality = docs
@@ -1026,7 +1027,8 @@ object Curation {
     // execution (guide §2.4); PageRank implementations cache the vertex
     // set for exactly this reason. One narrow doc_id column, pinned once.
     val docs = handle.pin(t(s, dir, "documents").select(col("doc_id")))
-    val und = Dedup.minhashNearDups(t(s, dir, "documents"), handle = handle)
+    val und = Dedup.minhashNearDups(t(s, dir, "documents"), handle = handle,
+        sorted = false)
       .select(col("id1"), col("id2"))
     val edges = handle.pin(
       und.select(col("id1").as("src"), col("id2").as("dst"))

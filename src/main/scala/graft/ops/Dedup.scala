@@ -129,20 +129,26 @@ object Dedup {
     */
   def jaccardNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
-                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+                      handle: StorageHandle = StorageHandle.sessionDefault(),
+                      sorted: Boolean = true): DataFrame = {
     val sh = handle.pin(hashedShingles(docs, maxShingleDf))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("c"))
-    common
+    val out = common
       .join(sizes.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sizes.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("s1.n") + col("s2.n") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
+    // r14 (guide §2.4): the presentation sort is a range exchange
+    // (sampling pass + sort); composition consumers — vote joins,
+    // connected components, per-source aggregations — are order-
+    // independent and end with their own deterministic ORDER BY, so
+    // they take sorted = false. Registered pair queries keep the sort.
+    if (sorted) out.orderBy(col("id1"), col("id2")) else out
   }
 
   /** The J ≥ 0.6 pair set as an unordered SELECT — reused as a derived
@@ -250,7 +256,8 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.6,
                       maxShingleDf: Option[Long] = None,
-                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
+                      handle: StorageHandle = StorageHandle.sessionDefault(),
+                      sorted: Boolean = true): DataFrame = {
     val sets = handle.pin(hashedShingleSets(docs, maxShingleDf))
     // Fused signature+banding kernel: one codegen'd pass from hashed
     // shingles to the 32 packed band keys (DedupSpec pins equivalence to
@@ -264,7 +271,7 @@ object Dedup {
       .distinct()
     // Exact verification, candidate-proportional: one primitive-long set
     // intersection per candidate pair against the shared cached sets.
-    cands
+    val out = cands
       .join(sets.as("s1"), col("id1") === col("s1.doc_id"))
       .join(sets.as("s2"), col("id2") === col("s2.doc_id"))
       .select(col("id1"), col("id2"),
@@ -273,7 +280,8 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (col("c").cast("double") / (col("n1") + col("n2") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
+    // sorted = false for composition consumers — see jaccardNearDups.
+    if (sorted) out.orderBy(col("id1"), col("id2")) else out
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ 3, exact by pigeonhole:
@@ -295,7 +303,7 @@ object Dedup {
   /** Library form of q53 over any (doc_id, text) frame — also the SimHash
     * leg of the q137 consensus ensemble.
     */
-  def simhashPairs(docs: DataFrame): DataFrame = {
+  def simhashPairs(docs: DataFrame, sorted: Boolean = true): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
     // Per-row signature ([[graft.functions.SimHashExpr]] — a bit-exact
     // replica of the grouped SQL formulation, DedupSpec-pinned): the
@@ -307,7 +315,7 @@ object Dedup {
       .select(col("doc_id"), expr("graft_simhash(split(text, ' '))").as("simhash"))
     val chunks = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr("transform(sequence(0, 3), c -> (simhash >> (c * 15)) & 32767)")).as(Seq("chunk", "cval")))
-    chunks.as("x")
+    val out = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -315,7 +323,8 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy(col("id1"), col("id2"))
+    // sorted = false for composition consumers — see jaccardNearDups.
+    if (sorted) out.orderBy(col("id1"), col("id2")) else out
   }
 
   /** DuckDB replica of q53: identical md5-derived 60-bit token hash (hex
@@ -403,14 +412,16 @@ object Dedup {
   def embeddingNearDups(e: DataFrame, threshold: Double = 0.45,
                         bitsPerTable: Int = graft.functions.Hyperplanes.bits,
                         multiProbe: Boolean = false,
-                        numTables: Int = -1): DataFrame = {
+                        numTables: Int = -1,
+                        sorted: Boolean = true): DataFrame = {
     val cands = embeddingCandidates(e, bitsPerTable, multiProbe, numTables)
-    cands
+    val out = cands
       .join(e.as("a"), col("id1") === col("a.vec_id"))
       .join(e.as("b"), col("id2") === col("b.vec_id"))
       .select(col("id1"), col("id2"), expr("graft_dot(a.emb, b.emb)").as("cosine"))
       .filter(col("cosine") >= threshold)
-      .orderBy(col("id1"), col("id2"))
+    // sorted = false for composition consumers — see jaccardNearDups.
+    if (sorted) out.orderBy(col("id1"), col("id2")) else out
   }
 
   /** Candidate pairs for [[embeddingNearDups]]: vec_id pairs sharing a
@@ -997,9 +1008,19 @@ object Dedup {
                         embBits: Int = graft.functions.Hyperplanes.bits,
                         embTables: Int = -1,
                         handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame = {
-    val mh = handle.pin(minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")))
-    val sh = handle.pin(simhashPairs(docs).select(col("id1"), col("id2")))
-    val em = handle.pin(embeddingNearDups(emb, bitsPerTable = embBits, numTables = embTables)
+    // sorted = false (r14, guide §2.4): each leg's presentation sort was
+    // a range exchange cached into the pin; the union + vote joins are
+    // order-independent and the ensemble ends with its own ORDER BY.
+    val mh = handle.pin(minhashNearDups(docs, handle = handle, sorted = false)
+      .select(col("id1"), col("id2")))
+    val sh = handle.pin(simhashPairs(docs, sorted = false).select(col("id1"), col("id2")))
+    // r14 (VERDICT r13 item 5): the embedding leg reads its normalized
+    // input four times (bucket self-join ×2 + exact-verify re-attach ×2)
+    // — pin it once per query. One narrow (vec_id, emb) frame, released
+    // with the handle; the leg's plan drops to one embeddings scan.
+    val embP = handle.pin(emb)
+    val em = handle.pin(embeddingNearDups(embP, bitsPerTable = embBits, numTables = embTables,
+        sorted = false)
       .select(col("id1"), col("id2")))
     val ids = mh.unionByName(sh).unionByName(em).distinct()
     ids

@@ -40,7 +40,8 @@ object Graph {
   def triangleCounts(docs: DataFrame,
                      handle: StorageHandle = StorageHandle.sessionDefault()): DataFrame =
     triangleCountsFromEdges(
-      Dedup.minhashNearDups(docs, handle = handle).select(col("id1"), col("id2")),
+      Dedup.minhashNearDups(docs, handle = handle, sorted = false)
+        .select(col("id1"), col("id2")),
       handle)
 
   /** Edge-level entry point: `edges` is any undirected id1<id2 edge frame

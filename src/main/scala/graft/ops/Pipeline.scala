@@ -199,7 +199,7 @@ object Pipeline {
     val splits = docs.select(col("doc_id"))
       .withColumn("b", Curation.splitBucketCol)
       .select(col("doc_id"), Curation.splitNameCol(col("b")).as("split"))
-    Dedup.jaccardNearDups(docs)
+    Dedup.jaccardNearDups(docs, sorted = false)
       .join(splits.select(col("doc_id").as("id1"), col("split").as("split1")), Seq("id1"))
       .join(splits.select(col("doc_id").as("id2"), col("split").as("split2")), Seq("id2"))
       .filter(col("split1") =!= col("split2"))
@@ -321,7 +321,8 @@ object Pipeline {
     val exact = docs.select(col("doc_id"),
       (col("doc_id") === min(col("doc_id")).over(
         Window.partitionBy(md5(col("text").cast("binary"))))).as("exact_canonical"))
-    val pairs = Dedup.minhashNearDups(docs).select(col("id1"), col("id2"))
+    val pairs = Dedup.minhashNearDups(docs, sorted = false)
+      .select(col("id1"), col("id2"))
     // Pinned (r13): the keeper argmax and the final manifest join both
     // read the quality frame — un-pinned, each reference re-ran the
     // text split + distinct over the full corpus (guide §2.4). Three
@@ -529,7 +530,7 @@ object Pipeline {
     // J ≥ 0.6 set as the inverted index (q52 is hash-checked against
     // q51's oracle) at a fraction of the cost, and it is the miner a
     // 100 TB health report would feed from (q73 makes the same choice).
-    val nearIds = Dedup.minhashNearDups(docs)
+    val nearIds = Dedup.minhashNearDups(docs, sorted = false)
       .select(explode(array(col("id1"), col("id2"))).as("doc_id"))
       .distinct().withColumn("is_near", lit(1L))
     docs.select(col("doc_id"), col("source"))
@@ -573,7 +574,7 @@ object Pipeline {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
     // MinHash-mined pairs — same set and same jaccard doubles as the
     // inverted index (see q103's miner note).
-    Dedup.minhashNearDups(t(s, dir, "documents"))
+    Dedup.minhashNearDups(t(s, dir, "documents"), sorted = false)
       .join(docs.as("d1"), col("id1") === col("d1.doc_id"))
       .join(docs.as("d2"), col("id2") === col("d2.doc_id"))
       .select(least(col("d1.source"), col("d2.source")).as("source1"),

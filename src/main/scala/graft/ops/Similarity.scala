@@ -1903,22 +1903,30 @@ object Similarity {
     * never routes to a memberless group.
     */
   private[graft] def pqHierModelOn(emb: DataFrame, pqBits: Int,
-                                   groupSize: Int, refine: Boolean)
+                                   groupSize: Int, refine: Boolean,
+                                   pinSums: Boolean = false)
       : (DataFrame, DataFrame, DataFrame) = {
     val H = graft.functions.Hyperplanes
     val subs = pqSubsOf(emb)
     val seeded = subs.withColumn("cell0", expr(H.sparkSubCellExpr("sub", "m", pqBits)))
-    // NOT pinned (r13 measured): sums feeds cents once and supCentsOf
-    // once or (refined) twice, but every consumer sits under a
-    // BroadcastExchange, and those broadcast jobs evaluate their towers
-    // CONCURRENTLY on otherwise-idle cores — pinning serialized them
-    // behind one cache-materialization barrier and cost q160/q161/q163/
-    // q165 a consistent +1-2 s each at sf0.1 (probes/r13opt).
-    val sums = seeded
+    // NOT pinned by default (r13 measured): sums feeds cents once and
+    // supCentsOf once or (refined) twice, but in the QUERY encode paths
+    // every consumer sits under a BroadcastExchange, and those broadcast
+    // jobs evaluate their towers CONCURRENTLY on otherwise-idle cores —
+    // pinning serialized them behind one cache-materialization barrier
+    // and cost q160/q161/q163/q165 a consistent +1-2 s each at sf0.1
+    // (probes/r13opt). The INDEX WRITE path is different (r14): after
+    // the tree write it re-executes the cents/groups/supcent towers as
+    // three SEQUENTIAL model-relation writes, so there the bounded
+    // (m, cell0, dim) aggregate — ≤ M·2^pqBits·subDim rows, model state,
+    // not corpus data — is worth pinning (pinSums = true; measured in
+    // probes/r14).
+    val sums0 = seeded
       .select(col("m"), col("cell0"), posexplode(
         expr("transform(sub, x -> CAST(ROUND(x * 10000000) AS BIGINT))")).as(Seq("dim", "fx")))
       .groupBy(col("m"), col("cell0"), col("dim"))
       .agg(sum(col("fx")).as("sfx"), count(lit(1)).as("n"))
+    val sums = if (pinSums) StorageHandle.sessionDefault().pin(sums0) else sums0
     val cents = sums.groupBy(col("m"), col("cell0"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, sfx, n))), e -> CAST(e.sfx AS DOUBLE) / e.n / 10000000)").as("centroid"))
       .select(col("m"), col("cell0").as("cell"), col("centroid"))
@@ -1959,8 +1967,8 @@ object Similarity {
     * The (m, gcells) assembly sorts with an explicit comparator because
     * structs containing MAP fields are not orderable.
     */
-  private def pqHierModelRow(cents: DataFrame, groups: DataFrame,
-                             supCents: DataFrame): DataFrame = {
+  private[graft] def pqHierModelRow(cents: DataFrame, groups: DataFrame,
+                                    supCents: DataFrame): DataFrame = {
     // g arrives as BIGINT (`cell div groupSize`); the expression reads
     // int keys — a lossless cast (g < 2^pqBits).
     val supA = supCents.groupBy(col("m"))
@@ -2005,7 +2013,7 @@ object Similarity {
     * the index write computes codes in the SAME projection as its
     * bucket explode instead of joining a second encode pass by vec_id.
     */
-  private def pqEncodeHierExprStr(beam: Int): String = {
+  private[graft] def pqEncodeHierExprStr(beam: Int): String = {
     val H = graft.functions.Hyperplanes
     s"""transform(sequence(0, ${H.pqM - 1}), mm ->
        graft_pq_hier_code(slice(emb, mm * ${H.pqSubDim} + 1, ${H.pqSubDim}),
@@ -2189,14 +2197,14 @@ object Similarity {
     * the difference between an index that must live on the data lake and
     * one that fits a serving tier's NVMe.
     */
-  private val annPqGeometry: (Int, Int) = (14, 16)
-  private val annPqBits = 8
+  private[graft] val annPqGeometry: (Int, Int) = (14, 16)
+  private[graft] val annPqBits = 8
   // The index's encoder is q165's registered 100× posture — 32×8
   // Lloyd-refined groups, beam 3 — NOT the flat argmax: encode is the
   // recurring per-document cost of index maintenance (every build and
   // every appended batch), exactly where q159's Θ(n·M·256) knee lives.
-  private val annPqGroupSize = 8
-  private val annPqBeam = 3
+  private[graft] val annPqGroupSize = 8
+  private[graft] val annPqBeam = 3
 
   /** Deterministic per-corpus PQ-index location (tmpdir-scoped, distinct
     * from [[annIndexPath]] so the two index families never collide).
@@ -2276,15 +2284,30 @@ object Similarity {
       .repartition(col("tbl"), col("bgrp"))
       .sortWithinPartitions(col("tbl"), col("bgrp"), col("bucket"))
       .write.mode(mode).partitionBy("tbl", "bgrp").parquet(path)
-    s.range(1)
-      .select(lit(bitsPerTable).as("bits"), lit(numTables).as("tables"))
-      .write.mode("overwrite").parquet(s"$path/_geometry")
+    // r14 (guide §2.6, VERDICT r13 item 3): the geometry record and the
+    // three model relations are mutually independent tiny writes — each a
+    // fixed-latency Spark job (sequentially ~3.3 s of the build at sf0.1,
+    // probes/r14/q163_tail_probe.log) — so submit them concurrently and
+    // let the scheduler overlap their stages on otherwise-idle cores.
+    // All of them still start only AFTER the bucket-tree write committed
+    // (the static partitionBy overwrite clears the root first — the r8
+    // ordering constraint), and the persisted layout is byte-identical
+    // to the sequential form.
+    val tailWrites = scala.collection.mutable.ArrayBuffer[() => Unit](
+      () => s.range(1)
+        .select(lit(bitsPerTable).as("bits"), lit(numTables).as("tables"))
+        .write.mode("overwrite").parquet(s"$path/_geometry"))
     if (!(mode == "append" && cbExists)) {
-      cents.withColumn("pq_bits", lit(pqBits))
-        .write.mode("overwrite").parquet(cbPath)
-      groups.write.mode("overwrite").parquet(s"$path/_groups")
-      supCents.write.mode("overwrite").parquet(s"$path/_supcent")
+      tailWrites += (() => cents.withColumn("pq_bits", lit(pqBits))
+        .write.mode("overwrite").parquet(cbPath))
+      tailWrites += (() => groups.write.mode("overwrite").parquet(s"$path/_groups"))
+      tailWrites += (() => supCents.write.mode("overwrite").parquet(s"$path/_supcent"))
     }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tailWrites.size)
+    try tailWrites.map(f => pool.submit(new java.util.concurrent.Callable[Unit] {
+      override def call(): Unit = f()
+    })).foreach(_.get())
+    finally pool.shutdown()
     Similarity.synchronized { builtIndexPaths += path }
   }
 
